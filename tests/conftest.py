@@ -1,0 +1,22 @@
+"""Test bootstrap: force an 8-device virtual CPU platform before JAX loads.
+
+All tests run CPU-only (like the reference's CI, reference
+.github/workflows/build-pipeline.yml) but with 8 virtual devices so the
+multi-chip sharding paths compile and execute without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
