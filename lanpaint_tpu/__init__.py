@@ -7,4 +7,20 @@ known and masked latent regions, compiled to a single XLA program
 kernels) driving JAX diffusion backbones.
 """
 
+from .api import (  # noqa: F401
+    LanPaintSampler,
+    ksampler,
+    ksampler_advanced,
+    sample_custom,
+    sample_custom_advanced,
+)
+from .config import LanPaintConfig, ModelKind  # noqa: F401
+from .masks import mask_blend, prepare_mask, reshape_mask  # noqa: F401
+from .models.base import (  # noqa: F401
+    Denoiser,
+    x0_from_eps,
+    x0_from_flow_velocity,
+    x0_from_v,
+)
+
 __version__ = "0.1.0"

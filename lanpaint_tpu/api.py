@@ -1,0 +1,348 @@
+"""User-facing sampling API.
+
+Pure-functional equivalents of the reference's five exported nodes
+(reference src/LanPaint/nodes.py:631-638):
+
+* `ksampler`            <-> LanPaint_KSampler (fixed defaults, nodes.py:298-349)
+* `ksampler_advanced`   <-> LanPaint_KSamplerAdvanced (nodes.py:350-413)
+* `sample_custom`       <-> LanPaint_SamplerCustom (nodes.py:491-556)
+* `sample_custom_advanced` <-> LanPaint_SamplerCustomAdvanced (nodes.py:558-626)
+* `lanpaint_tpu.masks.mask_blend` <-> LanPaint_MaskBlend
+
+Instead of monkey-patching a host sampler (nodes.py:251-267), everything is
+one jit-compiled XLA program built by `LanPaintSampler`: outer solver scan,
+per-step think loop, CFG double pass, replace step — no host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import samplers
+from .config import LanPaintConfig, ModelKind
+from .engine import lanpaint_update
+from .guidance import make_cfg_double_denoiser, resolve_cfg_big
+from .masks import prepare_mask
+from .models.base import Denoiser
+from .schedule import inverse_noise_scaling, noise_scaling, unify_times
+from .sigmas import apply_denoise, calculate_sigmas
+
+
+def _max_denoise(sigmas, sigma_table) -> bool:
+    if sigma_table is None:
+        return True
+    s0 = float(sigmas[0])
+    mx = float(sigma_table.sigma_max)
+    return math.isclose(s0, mx, rel_tol=1e-5) or s0 > mx
+
+
+class LanPaintSampler:
+    """A compiled LanPaint sampling program for one (model, config, solver).
+
+    Reuse instances across calls — `jax.jit` caches on input shapes.  The
+    hyperparameters that change compiled code (solver, think-loop config,
+    cfg values via the cfg1 shortcut) are constructor arguments; latents,
+    masks, conditioning and seeds are runtime arguments.
+    """
+
+    def __init__(
+        self,
+        model: Denoiser,
+        *,
+        config: LanPaintConfig = LanPaintConfig(),
+        sampler_name: str = "euler",
+        cfg: float = 5.0,
+        cfg_big: Optional[float] = None,
+        prompt_mode: str = "Image First",
+        disable_cfg1_optimization: bool = False,
+        denoise_mask_fn: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.sampler_name = sampler_name
+        self.cfg = float(cfg)
+        if cfg_big is None:
+            cfg_big = resolve_cfg_big(prompt_mode, cfg, model.is_flux)
+        self.cfg_big = float(cfg_big)
+        self.disable_cfg1_optimization = disable_cfg1_optimization
+        self.denoise_mask_fn = denoise_mask_fn
+        self._jit_inpaint = jax.jit(self._run_inpaint)
+        self._jit_plain = jax.jit(self._run_plain)
+
+    # -- compiled bodies ---------------------------------------------------
+
+    def _denoise_pair(self, cond, uncond):
+        return make_cfg_double_denoiser(
+            self.model.apply, cond, uncond, self.cfg, self.cfg_big,
+            self.disable_cfg1_optimization,
+        )
+
+    def _run_inpaint(self, x_init, think_noise, sigmas, latent, denoise_mask,
+                     cond, uncond, key):
+        denoise = self._denoise_pair(cond, uncond)
+        kind = self.model.kind
+        cfg_ = self.config
+        total = sigmas.shape[0] - 1
+
+        def wrapped(x, sigma, k):
+            sigma_b = jnp.broadcast_to(sigma, (x.shape[0],))
+            times = unify_times(sigma_b, kind)
+            dm = denoise_mask
+            if self.denoise_mask_fn is not None:
+                dm = self.denoise_mask_fn(sigma, dm)
+            dm = (dm > 0.5).astype(jnp.float32)
+            latent_mask = 1.0 - dm
+            # Outer early stop: zero think steps in the tail
+            # (reference nodes.py:177-183).
+            step = jnp.argmin(jnp.abs(sigmas - sigma))
+            n = jnp.where(total - step <= cfg_.outer_early_stop, 0, cfg_.n_steps)
+            out, x_new, _aux = lanpaint_update(
+                denoise, x, latent_image=latent, noise=think_noise,
+                latent_mask=latent_mask, sigma=sigma_b, times=times,
+                n_steps=n, config=cfg_, kind=kind, key=k,
+            )
+            return out, x_new
+
+        samples, den_all = samplers.sample(
+            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key
+        )
+        samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
+        return samples, den_all
+
+    def _run_plain(self, x_init, sigmas, cond, uncond, key):
+        denoise = self._denoise_pair(cond, uncond)
+        kind = self.model.kind
+
+        def wrapped(x, sigma, k):
+            sigma_b = jnp.broadcast_to(sigma, (x.shape[0],))
+            times = unify_times(sigma_b, kind)
+            t = times.flow_t if kind is ModelKind.FLOW else times.ve_sigma
+            out, _ = denoise(x, t)
+            return out, x
+
+        samples, den_all = samplers.sample(
+            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key
+        )
+        samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
+        return samples, den_all
+
+    # -- runtime entry -----------------------------------------------------
+
+    def __call__(
+        self,
+        *,
+        latent: jnp.ndarray,
+        sigmas,
+        cond: Any,
+        uncond: Any = None,
+        mask=None,
+        seed: int = 0,
+        noise: Optional[jnp.ndarray] = None,
+        add_noise: bool = True,
+        decoupled_noise: bool = False,
+        video: bool = False,
+    ):
+        """Run sampling.  Returns (samples, denoised_history)."""
+        latent = jnp.asarray(latent)
+        sigmas = jnp.asarray(sigmas, jnp.float32)
+        key = jax.random.PRNGKey(seed)
+        k_init, k_think, k_solve = jax.random.split(key, 3)
+
+        if noise is None:
+            noise = (
+                jax.random.normal(k_init, latent.shape, jnp.float32)
+                if add_noise
+                else jnp.zeros_like(latent, dtype=jnp.float32)
+            )
+        # Optional decoupled think-loop noise from seed+1
+        # (reference nodes.py:208-212).
+        think_noise = (
+            jax.random.normal(jax.random.PRNGKey(seed + 1), latent.shape, jnp.float32)
+            if decoupled_noise
+            else noise
+        )
+
+        x_init = noise_scaling(
+            self.model.kind, jnp.broadcast_to(sigmas[0], (latent.shape[0],)),
+            noise, latent, max_denoise=_max_denoise(sigmas, self.model.sigma_table),
+        )
+
+        if mask is None:
+            return self._jit_plain(x_init, sigmas, cond, uncond, k_solve)
+        denoise_mask = prepare_mask(mask, latent.shape, video)
+        return self._jit_inpaint(
+            x_init, think_noise, sigmas, latent, denoise_mask, cond, uncond, k_solve
+        )
+
+
+# ---------------------------------------------------------------------------
+# Node-equivalent convenience entry points
+
+
+def _build_sigmas(model: Denoiser, scheduler: str, steps: int, denoise: float = 1.0):
+    if model.sigma_table is None:
+        raise ValueError("model has no sigma_table; pass explicit sigmas")
+    return jnp.asarray(apply_denoise(model.sigma_table, scheduler, steps, denoise))
+
+
+def ksampler(
+    model: Denoiser,
+    *,
+    seed: int = 0,
+    steps: int = 30,
+    cfg: float = 5.0,
+    sampler_name: str = "euler",
+    scheduler: str = "karras",
+    positive: Any,
+    negative: Any = None,
+    latent: jnp.ndarray,
+    mask=None,
+    denoise: float = 1.0,
+    num_steps: int = 5,
+    prompt_mode: str = "Image First",
+    video: bool = False,
+):
+    """LanPaint_KSampler equivalent: simple API with reference defaults
+    (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
+    reference nodes.py:329-336)."""
+    config = LanPaintConfig(n_steps=num_steps)
+    sam = LanPaintSampler(
+        model, config=config, sampler_name=sampler_name, cfg=cfg,
+        prompt_mode=prompt_mode,
+    )
+    sigmas = _build_sigmas(model, scheduler, steps, denoise)
+    samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
+                     uncond=negative, mask=mask, seed=seed, video=video)
+    return samples
+
+
+def ksampler_advanced(
+    model: Denoiser,
+    *,
+    add_noise: bool = True,
+    noise_seed: int = 0,
+    steps: int = 30,
+    cfg: float = 5.0,
+    sampler_name: str = "euler",
+    scheduler: str = "karras",
+    positive: Any,
+    negative: Any = None,
+    latent: jnp.ndarray,
+    mask=None,
+    start_at_step: int = 0,
+    end_at_step: int = 10000,
+    return_with_leftover_noise: bool = False,
+    num_steps: int = 5,
+    lamb: float = 16.0,
+    step_size: float = 0.2,
+    beta: float = 1.0,
+    friction: float = 15.0,
+    prompt_mode: str = "Image First",
+    early_stop: int = 1,
+    inner_threshold: float = 0.0,
+    inner_patience: int = 1,
+    video: bool = False,
+):
+    """LanPaint_KSamplerAdvanced equivalent: full hyperparameter surface
+    (reference nodes.py:350-413)."""
+    config = LanPaintConfig(
+        n_steps=num_steps, lamb=lamb, step_size=step_size, beta=beta,
+        friction=friction, outer_early_stop=early_stop,
+        inner_threshold=inner_threshold, inner_patience=inner_patience,
+    )
+    sigmas = np.asarray(calculate_sigmas(model.sigma_table, scheduler, steps))
+    last = min(end_at_step, steps)
+    sigmas = sigmas[start_at_step: last + 1].copy()
+    if len(sigmas) == 0:
+        return latent
+    if not return_with_leftover_noise:
+        sigmas[-1] = 0.0
+    sam = LanPaintSampler(
+        model, config=config, sampler_name=sampler_name, cfg=cfg,
+        prompt_mode=prompt_mode,
+    )
+    samples, _ = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
+                     uncond=negative, mask=mask, seed=noise_seed,
+                     add_noise=add_noise, video=video)
+    return samples
+
+
+def sample_custom(
+    model: Denoiser,
+    *,
+    add_noise: bool = True,
+    noise_seed: int = 0,
+    cfg: float = 8.0,
+    positive: Any,
+    negative: Any = None,
+    sampler_name: str = "euler",
+    sigmas,
+    latent: jnp.ndarray,
+    mask=None,
+    num_steps: int = 5,
+    prompt_mode: str = "Image First",
+    video: bool = False,
+):
+    """LanPaint_SamplerCustom equivalent: caller-supplied sigma ladder;
+    returns (output, denoised_output) (reference nodes.py:491-556)."""
+    config = LanPaintConfig(n_steps=num_steps)
+    sam = LanPaintSampler(
+        model, config=config, sampler_name=sampler_name, cfg=cfg,
+        prompt_mode=prompt_mode,
+    )
+    samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
+                           uncond=negative, mask=mask, seed=noise_seed,
+                           add_noise=add_noise, video=video)
+    denoised = den_all[-1]
+    if model.process_latent_out is not None:
+        denoised = model.process_latent_out(denoised)
+    return samples, denoised
+
+
+def sample_custom_advanced(
+    model: Denoiser,
+    *,
+    noise_seed: int = 0,
+    noise: Optional[jnp.ndarray] = None,
+    cfg: float = 8.0,
+    positive: Any,
+    negative: Any = None,
+    sampler_name: str = "euler",
+    sigmas,
+    latent: jnp.ndarray,
+    mask=None,
+    num_steps: int = 5,
+    lamb: float = 16.0,
+    step_size: float = 0.2,
+    beta: float = 1.0,
+    friction: float = 15.0,
+    prompt_mode: str = "Image First",
+    early_stop: int = 1,
+    inner_threshold: float = 0.0,
+    inner_patience: int = 1,
+    video: bool = False,
+):
+    """LanPaint_SamplerCustomAdvanced equivalent: full knobs + custom sigmas
+    + caller-supplied noise (reference nodes.py:558-626)."""
+    config = LanPaintConfig(
+        n_steps=num_steps, lamb=lamb, step_size=step_size, beta=beta,
+        friction=friction, outer_early_stop=early_stop,
+        inner_threshold=inner_threshold, inner_patience=inner_patience,
+    )
+    sam = LanPaintSampler(
+        model, config=config, sampler_name=sampler_name, cfg=cfg,
+        prompt_mode=prompt_mode,
+    )
+    samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
+                           uncond=negative, mask=mask, seed=noise_seed,
+                           noise=noise, video=video)
+    denoised = den_all[-1]
+    if model.process_latent_out is not None:
+        denoised = model.process_latent_out(denoised)
+    return samples, denoised

@@ -7,12 +7,16 @@ multi-chip sharding paths compile and execute without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env setup)
+
+# The environment's sitecustomize force-registers the TPU backend and sets
+# JAX_PLATFORMS before we run; the config update (post-import) wins.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,186 @@
+"""End-to-end API tests with an analytic toy backbone.
+
+The toy data distribution is x0 = c * ones with c ~ N(0, 1) shared across all
+pixels; its exact posterior-mean denoiser is
+    x0_hat = mean(x) * N / (N + sigma^2) * ones.
+Inpainting a latent whose known half equals 3.0 must pull the unknown half
+toward 3.0 — the bidirectional-guidance behavior that plain masked denoising
+would not produce.  This exercises the full pipeline end-to-end: noise
+scaling, CFG double pass, replace step, think loop, solver scan, blend.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanpaint_tpu import (
+    Denoiser,
+    LanPaintConfig,
+    LanPaintSampler,
+    ModelKind,
+    ksampler,
+    ksampler_advanced,
+    sample_custom,
+    sample_custom_advanced,
+)
+from lanpaint_tpu.sigmas import EpsSigmaTable, FlowSigmaTable, karras
+
+
+def make_toy_model(kind=ModelKind.EPS):
+    def apply(x, t, cond):
+        # cond is a (B, 1) bias; posterior mean for the shared-c prior
+        n = x[0].size
+        if kind is ModelKind.EPS:
+            w = n / (n + t.reshape((-1,) + (1,) * (x.ndim - 1)) ** 2)
+        else:
+            # flow x_t = (1-t) x0 + t eps: posterior mean of c from mean(x)
+            tt = t.reshape((-1,) + (1,) * (x.ndim - 1))
+            w = (1 - tt) * n / ((1 - tt) ** 2 * n + tt**2)
+        c_hat = jnp.mean(x, axis=tuple(range(1, x.ndim)), keepdims=True) * w
+        bias = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.broadcast_to(c_hat, x.shape) + bias
+
+    table = EpsSigmaTable() if kind is ModelKind.EPS else FlowSigmaTable()
+    return Denoiser(apply=apply, kind=kind, sigma_table=table, name="toy")
+
+
+@pytest.fixture(scope="module")
+def toy():
+    return make_toy_model()
+
+
+def test_ksampler_inpaint_pulls_unknown_toward_known(toy):
+    latent = jnp.full((1, 4, 16, 16), 3.0, jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[:, 8:] = 1.0  # repaint right half
+    cond = jnp.zeros((1, 1), jnp.float32)
+    out = ksampler(
+        toy, seed=0, steps=20, cfg=1.0, sampler_name="euler",
+        scheduler="karras", positive=cond, latent=latent,
+        mask=jnp.asarray(mask), num_steps=5,
+    )
+    o = np.asarray(out)
+    # known half must be exactly-ish preserved through the final blend
+    # (sampler output is the last solver x, so known region ~ latent + tail noise)
+    assert np.isfinite(o).all()
+    # unknown half pulled toward 3.0 (plain prior would give |mean| ~ 1)
+    assert abs(o[0, :, :, 8:].mean() - 3.0) < 0.5
+    # and the two halves agree (global-coherence prior)
+    assert abs(o[0, :, :, 8:].mean() - o[0, :, :, :8].mean()) < 0.3
+
+
+def test_ksampler_no_mask_plain_sampling(toy):
+    latent = jnp.zeros((2, 4, 8, 8), jnp.float32)
+    cond = jnp.zeros((2, 1), jnp.float32)
+    out = ksampler(toy, seed=1, steps=10, cfg=1.0, sampler_name="euler",
+                   scheduler="normal", positive=cond, latent=latent)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    # plain sampling of the shared-c prior: each sample is ~ c*ones
+    per_sample_std = o.reshape(2, -1).std(axis=1)
+    assert (per_sample_std < 0.2).all()
+
+
+def test_cfg_double_pass_shifts_output(toy):
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    cond = jnp.full((1, 1), 1.0, jnp.float32)
+    uncond = jnp.zeros((1, 1), jnp.float32)
+    out2 = ksampler(toy, seed=2, steps=10, cfg=2.0, sampler_name="euler",
+                    scheduler="karras", positive=cond, negative=uncond,
+                    latent=latent)
+    out1 = ksampler(toy, seed=2, steps=10, cfg=1.0, sampler_name="euler",
+                    scheduler="karras", positive=cond, negative=uncond,
+                    latent=latent)
+    # cfg=2 doubles the cond bias contribution vs cfg=1
+    d2 = float(np.mean(np.asarray(out2)))
+    d1 = float(np.mean(np.asarray(out1)))
+    assert d2 > d1 + 0.5
+
+
+def test_ksampler_advanced_leftover_noise(toy):
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    out = ksampler_advanced(
+        toy, noise_seed=3, steps=10, cfg=1.0, sampler_name="euler",
+        scheduler="normal", positive=cond, latent=latent,
+        start_at_step=0, end_at_step=5, return_with_leftover_noise=True,
+    )
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    # stopped mid-schedule with leftover noise -> std well above clean prior
+    assert o.std() > 1.0
+
+
+def test_ksampler_advanced_resume_roundtrip(toy):
+    """Split sampling (0..5, then 5..10 with add_noise=False) must produce a
+    finite, denoised result — the reference's sampler-level resume
+    (nodes.py:364-366, SURVEY.md section 5 checkpoint/resume)."""
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    mid = ksampler_advanced(
+        toy, noise_seed=4, steps=10, cfg=1.0, positive=cond, latent=latent,
+        scheduler="normal", end_at_step=5, return_with_leftover_noise=True,
+    )
+    out = ksampler_advanced(
+        toy, noise_seed=4, steps=10, cfg=1.0, positive=cond, latent=mid,
+        scheduler="normal", add_noise=False, start_at_step=5,
+    )
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert o.reshape(-1).std() < 0.5  # fully denoised: collapses to c*ones
+
+
+def test_sample_custom_returns_denoised(toy):
+    latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)
+    mask = jnp.ones((8, 8), jnp.float32).at[:, :4].set(0.0)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    sigmas = jnp.asarray(karras(10, 0.03, 14.6), jnp.float32)
+    out, denoised = sample_custom(
+        toy, noise_seed=5, cfg=1.0, positive=cond, sampler_name="euler",
+        sigmas=sigmas, latent=latent, mask=mask, num_steps=3,
+    )
+    assert out.shape == latent.shape and denoised.shape == latent.shape
+    assert np.isfinite(np.asarray(denoised)).all()
+    # denoised output blends the known region exactly
+    np.testing.assert_allclose(np.asarray(denoised[0, :, :, :4]), 2.0, atol=1e-4)
+
+
+def test_sample_custom_advanced_full_knobs(toy):
+    latent = jnp.full((1, 4, 8, 8), 1.0, jnp.float32)
+    mask = jnp.ones((8, 8), jnp.float32).at[:4, :].set(0.0)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    sigmas = jnp.asarray(karras(8, 0.03, 14.6), jnp.float32)
+    out, denoised = sample_custom_advanced(
+        toy, noise_seed=6, cfg=1.0, positive=cond, sampler_name="dpmpp_2m",
+        sigmas=sigmas, latent=latent, mask=mask, num_steps=2, lamb=8.0,
+        step_size=0.1, beta=0.5, friction=10.0, early_stop=2,
+        inner_threshold=0.005, inner_patience=1,
+    )
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_flow_model_end_to_end():
+    toy_flow = make_toy_model(ModelKind.FLOW)
+    latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)
+    mask = jnp.ones((8, 8), jnp.float32).at[:, :4].set(0.0)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    out = ksampler(toy_flow, seed=7, steps=15, cfg=1.0, sampler_name="euler",
+                   scheduler="simple", positive=cond, latent=latent,
+                   mask=mask, num_steps=3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all()
+    assert abs(o[0, :, :, 4:].mean() - 2.0) < 0.6
+
+
+def test_sampler_reuse_no_recompile(toy):
+    """Reusing a LanPaintSampler across seeds must hit the jit cache."""
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    cond = jnp.zeros((1, 1), jnp.float32)
+    sigmas = jnp.asarray(karras(5, 0.03, 14.6), jnp.float32)
+    sam = LanPaintSampler(toy, config=LanPaintConfig(n_steps=2),
+                          sampler_name="euler", cfg=1.0)
+    s1, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=0)
+    s2, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=1)
+    assert not np.allclose(np.asarray(s1), np.asarray(s2))
+    assert sam._jit_plain._cache_size() == 1

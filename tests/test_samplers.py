@@ -1,0 +1,98 @@
+"""Solver-suite tests against analytic solutions.
+
+For unit-Gaussian data the exact posterior denoiser is D(x, sigma) =
+x / (1 + sigma^2); the probability-flow ODE then has the closed form
+x(0) = x(sigma0) / sqrt(1 + sigma0^2), and any exact SDE/ancestral sampler
+maps N(0, (1+sigma0^2) I) to N(0, I).  ODE solvers are checked against the
+closed form (with order-appropriate tolerances), stochastic solvers against
+the output marginal statistics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanpaint_tpu import samplers
+from lanpaint_tpu.sigmas import karras
+
+
+def model(x, sigma, key):
+    den = x / (1.0 + sigma**2)
+    return den, x
+
+
+SIGMA_MAX = 10.0
+ODE_SOLVERS = {
+    "euler": 0.05,
+    "heun": 0.01,
+    "heunpp2": 0.02,
+    "dpm_2": 0.01,
+    "dpmpp_2m": 0.01,
+    "res_multistep": 0.02,
+    "gradient_estimation": 0.05,
+}
+
+
+@pytest.mark.parametrize("name,tol", sorted(ODE_SOLVERS.items()))
+def test_ode_solver_matches_closed_form(name, tol, key):
+    x0 = jax.random.normal(key, (2, 4, 8, 8), jnp.float32) * SIGMA_MAX
+    sig = jnp.asarray(karras(30, 0.03, SIGMA_MAX), jnp.float32)
+    out, den_all = jax.jit(
+        lambda x: samplers.sample(model, x, sig, sampler=name, key=jax.random.PRNGKey(1))
+    )(x0)
+    want = np.asarray(x0) / np.sqrt(1 + SIGMA_MAX**2)
+    err = np.abs(np.asarray(out) - want).max() / np.abs(want).max()
+    assert err < tol, f"{name}: rel err {err:.4f}"
+    assert den_all.shape[0] == 30
+
+
+SDE_SOLVERS = [
+    "euler_ancestral",
+    "dpm_2_ancestral",
+    "ddpm",
+    "dpmpp_sde",
+    "dpmpp_2m_sde",
+    "dpmpp_3m_sde",
+    "res_multistep_ancestral",
+]
+
+
+@pytest.mark.parametrize("name", SDE_SOLVERS)
+def test_sde_solver_output_statistics(name, key):
+    n = (8, 4, 32, 32)  # 32768 samples
+    x0 = jax.random.normal(key, n, jnp.float32) * np.sqrt(1 + SIGMA_MAX**2)
+    sig = jnp.asarray(karras(50, 0.02, SIGMA_MAX), jnp.float32)
+    out, _ = jax.jit(
+        lambda x: samplers.sample(model, x, sig, sampler=name, key=jax.random.PRNGKey(2))
+    )(x0)
+    o = np.asarray(out)
+    assert np.isfinite(o).all(), name
+    assert abs(o.mean()) < 0.05, f"{name}: mean {o.mean():.4f}"
+    np.testing.assert_allclose(o.std(), 1.0, rtol=0.08, err_msg=name)
+
+
+def test_solver_uses_refined_x(key):
+    """Solvers must continue from the x returned by the model (the
+    functional equivalent of reference lanpaint.py:122's in-place copy)."""
+
+    def refining_model(x, sigma, key):
+        x_new = jnp.full_like(x, 7.0)
+        return jnp.zeros_like(x), x_new
+
+    x0 = jnp.ones((1, 2, 4, 4), jnp.float32)
+    sig = jnp.asarray([1.0, 0.0], jnp.float32)
+    out, _ = samplers.sample(refining_model, x0, sig, sampler="euler",
+                             key=jax.random.PRNGKey(0))
+    # euler: x = x_new + (x_new - 0)/1 * (0 - 1) = 7 - 7 = 0
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_unknown_sampler_raises():
+    with pytest.raises(ValueError, match="unknown sampler"):
+        samplers.get_solver("nope")
+
+
+def test_gpu_aliases_present():
+    for n in ["dpmpp_sde_gpu", "dpmpp_2m_sde_gpu", "dpmpp_3m_sde_gpu"]:
+        samplers.get_solver(n)
