@@ -1,0 +1,50 @@
+"""Shared helpers for the example scripts.
+
+Each example mirrors one of the reference's example workflows
+(reference example_workflows/*.json): same model family, same LanPaint
+hyperparameters as the workflow's widget values.  Without a checkpoint path
+the examples run in --smoke mode: random-init weights at a small latent so
+the full pipeline is exercised end-to-end on any machine.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def example_argparser(name: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=name)
+    p.add_argument("--checkpoint", default=None,
+                   help="safetensors checkpoint; omit for --smoke random init")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--think-steps", type=int, default=5)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny latent + random weights (no checkpoint needed)")
+    return p
+
+
+def center_square_mask(h: int, w: int, frac: float = 0.5) -> jnp.ndarray:
+    """Pixel mask repainting a centered square (1 = repaint)."""
+    m = np.zeros((h, w), np.float32)
+    dh, dw = int(h * frac / 2), int(w * frac / 2)
+    m[h // 2 - dh: h // 2 + dh, w // 2 - dw: w // 2 + dw] = 1.0
+    return jnp.asarray(m)
+
+
+def outpaint_mask(h: int, w: int, border_frac: float = 0.25) -> jnp.ndarray:
+    """Pixel mask repainting an outer border (outpainting, reference
+    Qwen_Image_Outpainting workflow)."""
+    m = np.ones((h, w), np.float32)
+    bh, bw = int(h * border_frac), int(w * border_frac)
+    m[bh: h - bh, bw: w - bw] = 0.0
+    return jnp.asarray(m)
+
+
+def report(name: str, out) -> None:
+    o = np.asarray(out, np.float32)
+    print(f"{name}: output {o.shape}, finite={np.isfinite(o).all()}, "
+          f"mean={o.mean():.4f}, std={o.std():.4f}")

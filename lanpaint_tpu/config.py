@@ -58,6 +58,9 @@ class LanPaintConfig:
     # Record a per-inner-step trace buffer (device-side equivalent of
     # model_options["lanpaint_semantic_trace"], earlystop.py:315-334).
     record_trace: bool = False
+    # Use the fused Pallas TPU kernels (ops/fused.py) for the pointwise
+    # Langevin update; silently falls back to the jnp path off-TPU.
+    use_fused_kernels: bool = False
 
     def __post_init__(self):
         if self.n_steps < 0:

@@ -33,6 +33,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from .config import LanPaintConfig, ModelKind
@@ -233,6 +234,30 @@ def lanpaint_update(
     abt_b = bcast_to(times.abt.astype(jnp.float32), ndim)
     lamb = config.lamb
 
+    # Fused Pallas path (TPU only): pointwise update phases run as two kernels
+    # with in-kernel PRNG; coefficient tables prefetched to SMEM.
+    use_fused = config.use_fused_kernels and jax.default_backend() == "tpu"
+    if use_fused:
+        from .ops import fused as _fused
+
+        coef_x, coef_y = _fused.pack_branch_coeffs(config, times)
+        batch = x_t.shape[0]
+        m_flat = int(np.prod(x_t.shape[1:]))
+        m_pad = -(-m_flat // _fused.TILE_M) * _fused.TILE_M
+
+        def _to2d(a):
+            a2 = a.reshape(batch, m_flat)
+            if m_pad != m_flat:
+                a2 = jnp.pad(a2, ((0, 0), (0, m_pad - m_flat)))
+            return a2
+
+        def _from2d(a2):
+            return a2[:, :m_flat].reshape(x_t.shape)
+
+        mask2 = _to2d(mask)
+        seed_base = jax.random.randint(jax.random.fold_in(k_loop, 0xF5),
+                                       (), 0, 2**31 - 1, jnp.int32)
+
     def coef_c(x_eval):
         """Bidirectional score -> drift C (lanpaint.py:125-141, 174-177)."""
         x_model, t_model = vp_to_model_coords(kind, x_eval, times, ndim)
@@ -285,49 +310,61 @@ def lanpaint_update(
     def body_fn(carry: ThinkCarry) -> ThinkCarry:
         i = carry.i
         warm = i > 0
-        k_i = jax.random.fold_in(k_loop, i)
-        k_y1, k_v1, k_y2, k_v2, k_v0 = jax.random.split(k_i, 5)
-        shape = carry.x_t.shape
-        eps_y1 = jax.random.normal(k_y1, shape, jnp.float32)
-        eps_v1 = jax.random.normal(k_v1, shape, jnp.float32)
-        eps_y2 = jax.random.normal(k_y2, shape, jnp.float32)
-        eps_v2 = jax.random.normal(k_v2, shape, jnp.float32)
-        # Stationary velocity ~ N(0, D^2/2) (reference utils.py:253-254);
-        # used for the cold start and as the fallback v where damped NaN'd.
-        v_stat = jax.random.normal(k_v0, shape, jnp.float32) * params.d / jnp.sqrt(2.0)
-
         x_t_in, v_in, c_old = carry.x_t, carry.v, carry.c
 
-        # -- warm path: half-step (old C) -> model -> kick -> half-step (old C)
-        xh_d, vh_d = sho_apply(params.sho_half, x_t_in, v_in, params.a, c_old, eps_y1, eps_v1)
-        xh_o = ou_apply(params.ou_half, x_t_in, c_old, eps_y1)
-        bad_h = ~(jnp.isfinite(xh_d) & jnp.isfinite(vh_d))
-        xh = jnp.where(bad_h, xh_o, xh_d)
-        vh = jnp.where(bad_h, v_stat, vh_d)
+        if use_fused:
+            x2, v2, c2 = _to2d(x_t_in), _to2d(v_in), _to2d(c_old)
+            xh2, vh2, xho2 = _fused.fused_half_step(
+                seed_base + 2 * i, coef_x, coef_y, 1.0, x2, v2, c2, mask2)
+            x_eval = jnp.where(warm, _from2d(xh2), x_t_in)
+            c_new, x0_eff = coef_c(x_eval)
+            xn2, vn2 = _fused.fused_finish(
+                seed_base + 2 * i + 1, coef_x, coef_y, 1.0,
+                warm.astype(jnp.int32), x2, xh2, vh2, xho2, c2,
+                _to2d(c_new), mask2)
+            x_new, v_new = _from2d(xn2), _from2d(vn2)
+        else:
+            k_i = jax.random.fold_in(k_loop, i)
+            k_y1, k_v1, k_y2, k_v2, k_v0 = jax.random.split(k_i, 5)
+            shape = carry.x_t.shape
+            eps_y1 = jax.random.normal(k_y1, shape, jnp.float32)
+            eps_v1 = jax.random.normal(k_v1, shape, jnp.float32)
+            eps_y2 = jax.random.normal(k_y2, shape, jnp.float32)
+            eps_v2 = jax.random.normal(k_v2, shape, jnp.float32)
+            # Stationary velocity ~ N(0, D^2/2) (reference utils.py:253-254);
+            # used for the cold start and as the fallback v where damped NaN'd.
+            v_stat = jax.random.normal(k_v0, shape, jnp.float32) * params.d / jnp.sqrt(2.0)
 
-        # Single model call per iteration: at the half-point when warm, at the
-        # current iterate when cold (reference lanpaint.py:214 vs :220).
-        x_eval = jnp.where(warm, xh, x_t_in)
-        c_new, x0_eff = coef_c(x_eval)
+            # -- warm path: half-step (old C) -> model -> kick -> half-step
+            xh_d, vh_d = sho_apply(params.sho_half, x_t_in, v_in, params.a, c_old, eps_y1, eps_v1)
+            xh_o = ou_apply(params.ou_half, x_t_in, c_old, eps_y1)
+            bad_h = ~(jnp.isfinite(xh_d) & jnp.isfinite(vh_d))
+            xh = jnp.where(bad_h, xh_o, xh_d)
+            vh = jnp.where(bad_h, v_stat, vh_d)
 
-        # warm finish
-        v_kick = vh + params.sqrt_gamma_dt * (c_new - c_old)
-        xf_d, vf_d = sho_apply(params.sho_half, xh, v_kick, params.a, c_old, eps_y2, eps_v2)
-        xk_o = xh_o + (c_new - c_old) * params.dt
-        xf_o = ou_apply(params.ou_half, xk_o, c_old, eps_y2)
-        bad_f = bad_h | ~(jnp.isfinite(xf_d) & jnp.isfinite(vf_d))
-        x_warm = jnp.where(bad_f, xf_o, xf_d)
-        v_warm = jnp.where(bad_f, v_stat, vf_d)
+            # Single model call per iteration: at the half-point when warm, at
+            # the current iterate when cold (reference lanpaint.py:214 vs :220).
+            x_eval = jnp.where(warm, xh, x_t_in)
+            c_new, x0_eff = coef_c(x_eval)
 
-        # cold start: one full step with the freshly evaluated C
-        xc_d, vc_d = sho_apply(params.sho_full, x_t_in, v_stat, params.a, c_new, eps_y1, eps_v1)
-        xc_o = ou_apply(params.ou_full, x_t_in, c_new, eps_y1)
-        bad_c = ~(jnp.isfinite(xc_d) & jnp.isfinite(vc_d))
-        x_cold = jnp.where(bad_c, xc_o, xc_d)
-        v_cold = jnp.where(bad_c, v_stat, vc_d)
+            # warm finish
+            v_kick = vh + params.sqrt_gamma_dt * (c_new - c_old)
+            xf_d, vf_d = sho_apply(params.sho_half, xh, v_kick, params.a, c_old, eps_y2, eps_v2)
+            xk_o = xh_o + (c_new - c_old) * params.dt
+            xf_o = ou_apply(params.ou_half, xk_o, c_old, eps_y2)
+            bad_f = bad_h | ~(jnp.isfinite(xf_d) & jnp.isfinite(vf_d))
+            x_warm = jnp.where(bad_f, xf_o, xf_d)
+            v_warm = jnp.where(bad_f, v_stat, vf_d)
 
-        x_new = jnp.where(warm, x_warm, x_cold)
-        v_new = jnp.where(warm, v_warm, v_cold)
+            # cold start: one full step with the freshly evaluated C
+            xc_d, vc_d = sho_apply(params.sho_full, x_t_in, v_stat, params.a, c_new, eps_y1, eps_v1)
+            xc_o = ou_apply(params.ou_full, x_t_in, c_new, eps_y1)
+            bad_c = ~(jnp.isfinite(xc_d) & jnp.isfinite(vc_d))
+            x_cold = jnp.where(bad_c, xc_o, xc_d)
+            v_cold = jnp.where(bad_c, v_stat, vc_d)
+
+            x_new = jnp.where(warm, x_warm, x_cold)
+            v_new = jnp.where(warm, v_warm, v_cold)
 
         # ---- semantic early stop (earlystop.py:238-313) ----
         stop = carry.stop

@@ -1,0 +1,317 @@
+"""Shared neural building blocks for the diffusion backbones.
+
+flax.linen modules in NHWC layout (TPU-native convolution layout) with
+configurable compute dtype (bfloat16 by default on TPU, fp32 params).
+Attention goes through `jax.nn.dot_product_attention`, which XLA lowers to
+fused flash-style kernels on TPU; long-sequence video attention can swap in
+the Pallas splash kernel via `attention_impl`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
+                       time_factor: float = 1.0) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (DDPM convention: cos/sin halves)."""
+    t = jnp.asarray(t, jnp.float32) * time_factor
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
+    """Multi-head attention on (B, S, H, D) tensors.
+
+    impl: "xla" (jax.nn.dot_product_attention — XLA fuses into flash-style
+    kernels), "flash" (the Pallas TPU flash-attention kernel, the win for
+    long video token sequences, SURVEY.md section 5 long-context), or "auto"
+    (flash on TPU when the shape qualifies: S % 512 == 0, D % 128 == 0,
+    S >= 4096 — e.g. Wan2.2 81-frame latents).
+    """
+    b, s, h, d = q.shape
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and s >= 4096 and s % 512 == 0 and d % 128 == 0
+    )
+    if use_flash:
+        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+
+        scale = (1.0 / math.sqrt(d)) if sm_scale is None else sm_scale
+        qt = jnp.transpose(q, (0, 2, 1, 3))
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        o = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+        return jnp.transpose(o, (0, 2, 1, 3))
+    return jax.nn.dot_product_attention(q, k, v)
+
+
+def attention(q, k, v, *, num_heads: int, mask=None):
+    """Multi-head attention on (B, S, H*D) tensors; returns (B, S, H*D).
+
+    Uses jax.nn.dot_product_attention (fused on TPU).  fp32 accumulation is
+    implicit on the MXU via preferred element types inside the kernel.
+    """
+    b, sq, _ = q.shape
+    sk = k.shape[1]
+    q = q.reshape(b, sq, num_heads, -1)
+    k = k.reshape(b, sk, num_heads, -1)
+    v = v.reshape(b, sk, num_heads, -1)
+    out = jax.nn.dot_product_attention(q, k, v, mask=mask)
+    return out.reshape(b, sq, -1)
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm(32) computed in fp32 regardless of compute dtype."""
+
+    groups: int = 32
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=jnp.float32)(x.astype(jnp.float32))
+        return x.astype(dt)
+
+
+class RMSNorm(nn.Module):
+    dim: int
+    eps: float = 1e-6
+    learned: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+        if self.learned:
+            scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
+            n = n * scale
+        return n.astype(dt)
+
+
+class QKNorm(nn.Module):
+    """Per-head RMS normalization of q and k (Flux/SD3-style)."""
+
+    head_dim: int
+
+    @nn.compact
+    def __call__(self, q, k):
+        q = RMSNorm(self.head_dim, name="query_norm")(q)
+        k = RMSNorm(self.head_dim, name="key_norm")(k)
+        return q, k
+
+
+class CrossAttention(nn.Module):
+    """Self- or cross-attention used by the UNet spatial transformer."""
+
+    query_dim: int
+    context_dim: Optional[int] = None
+    num_heads: int = 8
+    head_dim: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        inner = self.num_heads * self.head_dim
+        context = x if context is None else context
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        out = attention(q, k, v, num_heads=self.num_heads)
+        return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        return a * nn.gelu(g)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = GEGLU(self.dim * self.mult, dtype=self.dtype, name="net_0")(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LDM transformer block: self-attn -> cross-attn -> GEGLU FF."""
+
+    dim: int
+    context_dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(self.dim, None, self.num_heads, self.head_dim,
+                               dtype=self.dtype, name="attn1")(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(self.dim, self.context_dim, self.num_heads,
+                               self.head_dim, dtype=self.dtype, name="attn2")(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+
+
+class _ScanBTB(nn.Module):
+    """scan-over-depth body for BasicTransformerBlock (compile-time lever:
+    N identical blocks become ONE XLA while-body with stacked params)."""
+
+    dim: int
+    context_dim: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x, context):
+        x = BasicTransformerBlock(self.dim, self.context_dim, self.num_heads,
+                                  self.head_dim, dtype=self.dtype,
+                                  name="block")(x, context)
+        return x, None
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> linear proj -> depth x transformer block (scanned) -> proj."""
+
+    channels: int
+    context_dim: int
+    num_heads: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        residual = x
+        x = GroupNorm32(name="norm")(x)
+        x = x.reshape(b, h * w, c)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_in")(x)
+        head_dim = c // self.num_heads
+        scan = nn.scan(
+            _ScanBTB,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.depth,
+            in_axes=nn.broadcast,
+        )
+        x, _ = scan(c, self.context_dim, self.num_heads, head_dim,
+                    self.dtype, name="blocks")(x, context)
+        x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
+        return x.reshape(b, h, w, c) + residual
+
+
+class ResBlock(nn.Module):
+    """UNet residual block with timestep-embedding injection."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb):
+        c_in = x.shape[-1]
+        h = GroupNorm32(name="in_norm")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="in_conv")(h)
+        e = nn.Dense(self.out_channels, dtype=self.dtype, name="emb_proj")(nn.silu(emb))
+        h = h + e[:, None, None, :]
+        h = GroupNorm32(name="out_norm")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    name="out_conv")(h)
+        if c_in != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        name="skip_conv")(x)
+        return x + h
+
+
+class Downsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class MLPEmbedder(nn.Module):
+    """two-layer SiLU MLP used for time/vector embeddings in DiTs."""
+
+    hidden: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="in_layer")(x)
+        x = nn.silu(x)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="out_layer")(x)
+
+
+# --------------------------------------------------------------------------
+# Rotary position embeddings (DiT family)
+
+
+def rope_freqs(ids: jnp.ndarray, axes_dim, theta: float = 10000.0) -> jnp.ndarray:
+    """Multi-axis RoPE rotation table.
+
+    ids: (B, S, n_axes) integer position ids; axes_dim[i] dims are allotted to
+    axis i (sum = head_dim).  Returns (B, S, head_dim//2, 2, 2) rotation
+    matrices (Flux convention).
+    """
+    parts = []
+    for i, d in enumerate(axes_dim):
+        half = d // 2
+        scale = jnp.arange(0, d, 2, dtype=jnp.float32) / d
+        omega = 1.0 / (theta**scale)
+        out = ids[..., i].astype(jnp.float32)[..., None] * omega  # (B, S, half)
+        cos, sin = jnp.cos(out), jnp.sin(out)
+        mat = jnp.stack([cos, -sin, sin, cos], axis=-1).reshape(*out.shape, 2, 2)
+        parts.append(mat)
+    return jnp.concatenate(parts, axis=-3)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Apply rotation table to (B, S, H, D) q/k tensors."""
+    b, s, h, d = x.shape
+    xf = x.astype(jnp.float32).reshape(b, s, h, d // 2, 1, 2)
+    fr = freqs[:, :, None]  # (B, S, 1, D//2, 2, 2)
+    out = fr[..., 0] * xf[..., 0] + fr[..., 1] * xf[..., 1]
+    return out.reshape(b, s, h, d).astype(x.dtype)

@@ -1,0 +1,385 @@
+"""Checkpoint loading: torch/safetensors state dicts -> flax param trees.
+
+Maps the public checkpoint layouts of each backbone family (LDM/ComfyUI UNet
+keys `model.diffusion_model.*`, Flux `double_blocks.*`/`single_blocks.*`,
+Wan `blocks.*`) onto this framework's module tree, with the standard
+torch->flax transforms (Linear transpose, Conv OIHW->HWIO) and optional
+fp8_scaled dequantization (the Wan2.2 deployment format,
+reference README.md:219 "fp8_scaled").
+
+Repeated blocks are *scanned* in this framework (nn.scan over depth, the
+TPU compile-time idiom), so per-depth checkpoint tensors are stacked along a
+leading axis on import and unstacked on export.
+
+Every mapper is bijective: `export_*` produces the torch-layout dict from a
+flax tree, and tests roundtrip export->import to prove coverage (real
+checkpoints are unavailable in this offline environment).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# generic tensor transforms
+
+
+def t_linear(w):
+    return np.transpose(w, (1, 0))
+
+
+def t_conv2d(w):
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Read a safetensors file into numpy, dequantizing fp8_scaled tensors.
+
+    fp8_scaled layout: `<name>.weight` stored as float8_e4m3fn with a
+    matching `<name>.scale_weight` fp32 scalar/tensor; dequantized weight =
+    fp8.astype(f32) * scale.
+    """
+    import torch
+    from safetensors import safe_open
+
+    fp8_dtypes = (torch.float8_e4m3fn, torch.float8_e5m2)
+    out: Dict[str, np.ndarray] = {}
+    scales: Dict[str, np.ndarray] = {}
+    # torch framework: numpy cannot represent float8
+    with safe_open(path, framework="pt") as f:
+        for k in f.keys():
+            t = f.get_tensor(k)
+            if t.dtype in fp8_dtypes or t.dtype == torch.bfloat16:
+                t = t.to(torch.float32)
+            arr = t.numpy()
+            if k.endswith(".scale_weight"):
+                scales[k[: -len(".scale_weight")] + ".weight"] = arr
+            else:
+                out[k] = arr
+    for k, scale in scales.items():
+        if k in out:
+            out[k] = out[k].astype(np.float32) * scale
+    return out
+
+
+class _TreeBuilder:
+    """Accumulates plain and depth-stacked leaves, then emits a flax tree."""
+
+    def __init__(self):
+        self.plain = {}
+        self.stacks = {}
+
+    def set(self, path, value):
+        self.plain[tuple(path)] = value
+
+    def set_stacked(self, path, idx, depth, value):
+        slot = self.stacks.setdefault((tuple(path), depth), [None] * depth)
+        slot[idx] = value
+
+    def build(self) -> dict:
+        tree: dict = {}
+
+        def put(path, v):
+            node = tree
+            for p in path[:-1]:
+                node = node.setdefault(p, {})
+            node[path[-1]] = jnp.asarray(v)
+
+        for path, v in self.plain.items():
+            put(path, v)
+        for (path, depth), vs in self.stacks.items():
+            missing = [i for i, v in enumerate(vs) if v is None]
+            if missing:
+                raise KeyError(f"missing stacked entries {missing} for {path}")
+            put(path, np.stack(vs))
+        return {"params": tree}
+
+
+def _tree_to_flat(params, prefix=()):
+    flat = {}
+    for k, v in params.items():
+        if isinstance(v, Mapping):
+            flat.update(_tree_to_flat(v, prefix + (k,)))
+        else:
+            flat[prefix + (k,)] = np.asarray(v)
+    return flat
+
+
+def _t_in(kind, w):
+    """checkpoint tensor -> flax leaf layout."""
+    if kind in ("linear", "linear_nb", "mlp"):
+        return t_linear(w)
+    if kind == "conv":
+        return t_conv2d(w)
+    if kind == "linear_or_conv1x1":
+        return t_linear(w[:, :, 0, 0] if w.ndim == 4 else w)
+    if isinstance(kind, tuple) and kind[0] == "conv3d_as_linear":
+        # (O, I, pf, ph, pw) Conv3D kernel -> our patchify Dense (I*p, O)
+        return w.reshape(w.shape[0], -1).T if w.ndim == 5 else w
+    return w  # norms, raw
+
+
+def _t_out(kind, w):
+    """flax leaf -> checkpoint tensor layout."""
+    if kind in ("linear", "linear_nb", "mlp", "linear_or_conv1x1"):
+        return np.transpose(w, (1, 0))
+    if kind == "conv":
+        return np.transpose(w, (3, 2, 0, 1))
+    if isinstance(kind, tuple) and kind[0] == "conv3d_as_linear":
+        if w.ndim == 2:  # kernel (I*pf*ph*pw, O) -> (O, I, pf, ph, pw)
+            return np.transpose(w, (1, 0)).reshape(w.shape[1], *kind[1])
+        return w
+    return w
+
+
+def _leaves(kind):
+    """(ckpt_suffix, flax_leaf) pairs a kind contributes."""
+    if isinstance(kind, tuple):
+        kind = kind[0]
+    if kind in ("norm", "ln"):
+        return [("weight", "scale"), ("bias", "bias")]
+    if kind == "rms":
+        return [("scale", "scale")]
+    if kind == "linear_nb":
+        return [("weight", "kernel")]
+    if kind == "raw":
+        return [("", "")]
+    return [("weight", "kernel"), ("bias", "bias")]
+
+
+# --------------------------------------------------------------------------
+# mapping tables.  Entry: (ckpt_key, flax_path, kind, stack)
+# stack = None for plain tensors, (idx, depth) for per-depth stacked leaves.
+
+
+def _unet_entries(cfg):
+    e = []
+    e += [(f"time_embed.{i}", ("time_embed", n), "linear", None)
+          for i, n in [(0, "in_layer"), (2, "out_layer")]]
+    if cfg.adm_in_channels is not None:
+        e += [(f"label_emb.0.{i}", ("label_emb", n), "linear", None)
+              for i, n in [(0, "in_layer"), (2, "out_layer")]]
+    e.append(("input_blocks.0.0", ("input_conv",), "conv", None))
+    e.append(("out.0", ("out_norm", "GroupNorm_0"), "norm", None))
+    e.append(("out.2", ("out_conv",), "conv", None))
+
+    def res(ckpt, flax):
+        return [
+            (f"{ckpt}.in_layers.0", flax + ("in_norm", "GroupNorm_0"), "norm", None),
+            (f"{ckpt}.in_layers.2", flax + ("in_conv",), "conv", None),
+            (f"{ckpt}.emb_layers.1", flax + ("emb_proj",), "linear", None),
+            (f"{ckpt}.out_layers.0", flax + ("out_norm", "GroupNorm_0"), "norm", None),
+            (f"{ckpt}.out_layers.3", flax + ("out_conv",), "conv", None),
+            (f"{ckpt}.skip_connection", flax + ("skip_conv",), "conv", None),
+        ]
+
+    def attn(ckpt, flax, depth):
+        out = [
+            (f"{ckpt}.norm", flax + ("norm", "GroupNorm_0"), "norm", None),
+            (f"{ckpt}.proj_in", flax + ("proj_in",), "linear_or_conv1x1", None),
+            (f"{ckpt}.proj_out", flax + ("proj_out",), "linear_or_conv1x1", None),
+        ]
+        base = flax + ("blocks", "block")
+        for j in range(depth):
+            b = f"{ckpt}.transformer_blocks.{j}"
+            st = (j, depth)
+            out += [
+                (f"{b}.norm1", base + ("norm1",), "ln", st),
+                (f"{b}.norm2", base + ("norm2",), "ln", st),
+                (f"{b}.norm3", base + ("norm3",), "ln", st),
+                (f"{b}.ff.net.0.proj", base + ("ff", "net_0", "proj"), "linear", st),
+                (f"{b}.ff.net.2", base + ("ff", "net_2"), "linear", st),
+            ]
+            for a in ("attn1", "attn2"):
+                out += [
+                    (f"{b}.{a}.to_q", base + (a, "to_q"), "linear_nb", st),
+                    (f"{b}.{a}.to_k", base + (a, "to_k"), "linear_nb", st),
+                    (f"{b}.{a}.to_v", base + (a, "to_v"), "linear_nb", st),
+                    (f"{b}.{a}.to_out.0", base + (a, "to_out"), "linear", st),
+                ]
+        return out
+
+    idx = 1
+    for level in range(len(cfg.channel_mult)):
+        for i in range(cfg.num_res_blocks):
+            e += res(f"input_blocks.{idx}.0", (f"down_{level}_{i}_res",))
+            if cfg.transformer_depth[level] > 0:
+                e += attn(f"input_blocks.{idx}.1", (f"down_{level}_{i}_attn",),
+                          cfg.transformer_depth[level])
+            idx += 1
+        if level != len(cfg.channel_mult) - 1:
+            e.append((f"input_blocks.{idx}.0.op", (f"down_{level}_ds", "conv"),
+                      "conv", None))
+            idx += 1
+
+    e += res("middle_block.0", ("mid_res1",))
+    if cfg.transformer_depth_middle > 0:
+        e += attn("middle_block.1", ("mid_attn",), cfg.transformer_depth_middle)
+        e += res("middle_block.2", ("mid_res2",))
+    else:
+        e += res("middle_block.1", ("mid_res2",))
+
+    idx = 0
+    for level in reversed(range(len(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            e += res(f"output_blocks.{idx}.0", (f"up_{level}_{i}_res",))
+            k = 1
+            if cfg.transformer_depth[level] > 0:
+                e += attn(f"output_blocks.{idx}.{k}", (f"up_{level}_{i}_attn",),
+                          cfg.transformer_depth[level])
+                k += 1
+            if level != 0 and i == cfg.num_res_blocks:
+                e.append((f"output_blocks.{idx}.{k}.conv",
+                          (f"up_{level}_us", "conv"), "conv", None))
+            idx += 1
+    return e
+
+
+def _dit_entries(cfg):
+    e = [
+        ("img_in", ("img_in",), "linear", None),
+        ("txt_in", ("txt_in",), "linear", None),
+        ("time_in.in_layer", ("time_in", "in_layer"), "linear", None),
+        ("time_in.out_layer", ("time_in", "out_layer"), "linear", None),
+        ("final_layer.adaLN_modulation.1", ("final_layer", "adaLN_modulation"),
+         "linear", None),
+        ("final_layer.linear", ("final_layer", "linear"), "linear", None),
+    ]
+    if cfg.vec_dim > 0:
+        e += [("vector_in.in_layer", ("vector_in", "in_layer"), "linear", None),
+              ("vector_in.out_layer", ("vector_in", "out_layer"), "linear", None)]
+    if cfg.guidance_embed:
+        e += [("guidance_in.in_layer", ("guidance_in", "in_layer"), "linear", None),
+              ("guidance_in.out_layer", ("guidance_in", "out_layer"), "linear", None)]
+    for i in range(cfg.depth_double):
+        b = f"double_blocks.{i}"
+        p = ("double", "block")
+        st = (i, cfg.depth_double)
+        for s in ("img", "txt"):
+            e += [
+                (f"{b}.{s}_mod.lin", p + (f"{s}_mod", "lin"), "linear", st),
+                (f"{b}.{s}_attn.qkv", p + (f"{s}_attn_qkv",), "linear", st),
+                (f"{b}.{s}_attn.norm.query_norm",
+                 p + (f"{s}_attn_qknorm", "query_norm"), "rms", st),
+                (f"{b}.{s}_attn.norm.key_norm",
+                 p + (f"{s}_attn_qknorm", "key_norm"), "rms", st),
+                (f"{b}.{s}_attn.proj", p + (f"{s}_attn_proj",), "linear", st),
+                (f"{b}.{s}_mlp.0", p + (f"{s}_mlp_0",), "linear", st),
+                (f"{b}.{s}_mlp.2", p + (f"{s}_mlp_2",), "linear", st),
+            ]
+    for i in range(cfg.depth_single):
+        b = f"single_blocks.{i}"
+        p = ("single", "block")
+        st = (i, cfg.depth_single)
+        e += [
+            (f"{b}.modulation.lin", p + ("modulation", "lin"), "linear", st),
+            (f"{b}.linear1", p + ("linear1",), "linear", st),
+            (f"{b}.linear2", p + ("linear2",), "linear", st),
+            (f"{b}.norm.query_norm", p + ("qknorm", "query_norm"), "rms", st),
+            (f"{b}.norm.key_norm", p + ("qknorm", "key_norm"), "rms", st),
+        ]
+    return e
+
+
+def _wan_entries(cfg):
+    e = [
+        ("patch_embedding", ("patch_embedding",),
+         ("conv3d_as_linear", (cfg.in_channels,) + tuple(cfg.patch)), None),
+        ("text_embedding.0", ("text_embedding_0",), "linear", None),
+        ("text_embedding.2", ("text_embedding_2",), "linear", None),
+        ("time_embedding.0", ("time_embedding", "in_layer"), "linear", None),
+        ("time_embedding.2", ("time_embedding", "out_layer"), "linear", None),
+        ("time_projection.1", ("time_projection",), "linear", None),
+        ("head.head", ("head",), "linear", None),
+        ("head.modulation", ("head_modulation",), "raw", None),
+    ]
+    for i in range(cfg.depth):
+        b = f"blocks.{i}"
+        p = ("blocks", "block")
+        st = (i, cfg.depth)
+        e.append((f"{b}.modulation", p + ("modulation",), "raw", st))
+        for attn in ("self_attn", "cross_attn"):
+            for w in ("q", "k", "v", "o"):
+                e.append((f"{b}.{attn}.{w}", p + (attn, w), "linear", st))
+            for nw in ("norm_q", "norm_k"):
+                e.append((f"{b}.{attn}.{nw}", p + (attn, nw), "rms", st))
+        e += [
+            (f"{b}.norm3", p + ("norm3",), "ln", st),
+            (f"{b}.ffn.0", p + ("ffn_0",), "linear", st),
+            (f"{b}.ffn.2", p + ("ffn_2",), "linear", st),
+        ]
+    return e
+
+
+# --------------------------------------------------------------------------
+# generic import / export over an entry table
+
+
+def _import(state, entries, prefix):
+    tb = _TreeBuilder()
+    for ckpt, path, kind, stack in entries:
+        for suffix, leaf in _leaves(kind):
+            key = prefix + ckpt + ("." + suffix if suffix else "")
+            if key not in state:
+                continue
+            # layout transforms apply to weight tensors only, never biases
+            val = _t_in(kind, state[key]) if suffix == "weight" else state[key]
+            p = tuple(path) + ((leaf,) if leaf else ())
+            if stack is None:
+                tb.set(p, val)
+            else:
+                tb.set_stacked(p, stack[0], stack[1], val)
+    return tb.build()
+
+
+def _export(params, entries, prefix):
+    flat = _tree_to_flat(params["params"])
+    out = {}
+    for ckpt, path, kind, stack in entries:
+        for suffix, leaf in _leaves(kind):
+            p = tuple(path) + ((leaf,) if leaf else ())
+            if p not in flat:
+                continue
+            w = flat[p]
+            if stack is not None:
+                w = w[stack[0]]
+            if suffix == "weight":
+                w = _t_out(kind, w)
+            out[prefix + ckpt + ("." + suffix if suffix else "")] = w
+    return out
+
+
+def import_unet(state, cfg, prefix: str = "model.diffusion_model.") -> dict:
+    return _import(state, _unet_entries(cfg), prefix)
+
+
+def export_unet(params, cfg, prefix: str = "model.diffusion_model.") -> dict:
+    return _export(params, _unet_entries(cfg), prefix)
+
+
+def import_dit(state, cfg, prefix: str = "") -> dict:
+    return _import(state, _dit_entries(cfg), prefix)
+
+
+def export_dit(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _dit_entries(cfg), prefix)
+
+
+def import_wan(state, cfg, prefix: str = "") -> dict:
+    # Wan RMSNorm tensors are stored as '.weight'
+    state = {k.replace(".norm_q.weight", ".norm_q.scale")
+              .replace(".norm_k.weight", ".norm_k.scale"): v
+             for k, v in state.items()}
+    return _import(state, _wan_entries(cfg), prefix)
+
+
+def export_wan(params, cfg, prefix: str = "") -> dict:
+    out = _export(params, _wan_entries(cfg), prefix)
+    return {k.replace(".norm_q.scale", ".norm_q.weight")
+             .replace(".norm_k.scale", ".norm_k.weight"): v
+            for k, v in out.items()}

@@ -1,0 +1,196 @@
+"""Wan2.2 video DiT: 3D-patchified flow-matching transformer.
+
+Covers the reference's video-inpainting workflows (reference README.md:
+205-268 Wan2.2 t2v 14B fp8_scaled high+low-noise pair;
+example_workflows/video_Inpaint.json).  Architecture per the public Wan2.x
+design: Conv3D (1,2,2) patchify of the 16ch temporal latent, self-attention
+with 3D RoPE over (frame, y, x), cross-attention to T5 text features, AdaLN
+time modulation with per-block learned offsets.
+
+TPU-first: tokens are (B, F*H*W, hidden); the token axis carries the "seq"
+sharding annotation for 81-frame attention over the mesh
+(lanpaint_tpu.parallel.seq_sharding).  The two-expert (high/low noise)
+deployment is modeled by `SwitchingDenoiser` in models/base-level wrappers
+(see models/zoo.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import MLPEmbedder, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+
+
+@dataclasses.dataclass(frozen=True)
+class WanConfig:
+    in_channels: int = 16
+    out_channels: int = 16
+    hidden: int = 5120
+    num_heads: int = 40
+    depth: int = 40
+    ffn_dim: int = 13824
+    context_dim: int = 4096      # umt5-xxl features
+    patch: Tuple[int, int, int] = (1, 2, 2)
+    axes_dim: Tuple[int, ...] = (44, 42, 42)  # (frame, y, x) RoPE split
+    eps: float = 1e-6
+    attention_impl: str = "auto"   # see layers.attention_bshd
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden // self.num_heads
+
+
+WAN22_T2V_14B_CONFIG = WanConfig()
+WAN22_TI2V_5B_CONFIG = WanConfig(hidden=3072, num_heads=24, depth=30,
+                                 ffn_dim=14336, axes_dim=(44, 42, 42))
+TINY_WAN_CONFIG = WanConfig(in_channels=4, out_channels=4, hidden=64,
+                            num_heads=4, depth=2, ffn_dim=128, context_dim=32,
+                            axes_dim=(8, 4, 4))
+
+
+class WanSelfAttention(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, pe):
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.head_dim
+        b, s, _ = x.shape
+        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
+        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="k")(x).reshape(b, s, h, d)
+        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="v")(x).reshape(b, s, h, d)
+        q = RMSNorm(d, name="norm_q")(q)
+        k = RMSNorm(d, name="norm_k")(k)
+        q = apply_rope(q, pe)
+        k = apply_rope(k, pe)
+        out = attention_bshd(q, k, v, impl=cfg.attention_impl)
+        out = out.reshape(b, s, cfg.hidden)
+        return nn.Dense(cfg.hidden, dtype=cfg.dtype, name="o")(out)
+
+
+class WanCrossAttention(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, context):
+        cfg = self.cfg
+        h, d = cfg.num_heads, cfg.head_dim
+        b, s, _ = x.shape
+        sk = context.shape[1]
+        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
+        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="k")(context).reshape(b, sk, h, d)
+        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="v")(context).reshape(b, sk, h, d)
+        q = RMSNorm(d, name="norm_q")(q)
+        k = RMSNorm(d, name="norm_k")(k)
+        out = attention_bshd(q, k, v, impl=cfg.attention_impl)
+        out = out.reshape(b, s, cfg.hidden)
+        return nn.Dense(cfg.hidden, dtype=cfg.dtype, name="o")(out)
+
+
+class WanBlock(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, e, context, pe):
+        """e: (B, 6, hidden) time modulation; per-block learned offset added."""
+        cfg = self.cfg
+        mod_table = self.param("modulation", nn.initializers.normal(0.02),
+                               (1, 6, cfg.hidden), jnp.float32)
+        e = (mod_table + e.astype(jnp.float32))
+        sh1, sc1, g1, sh2, sc2, g2 = [e[:, i][:, None] for i in range(6)]
+
+        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False,
+                                       epsilon=cfg.eps, dtype=jnp.float32, name=name)
+        xn = ln("norm1")(x) * (1 + sc1) + sh1
+        x = x + g1 * WanSelfAttention(cfg, name="self_attn")(xn.astype(cfg.dtype), pe)
+        # cross-attn has its own (affine) norm, no modulation
+        xn = nn.LayerNorm(epsilon=cfg.eps, dtype=jnp.float32, name="norm3")(x)
+        x = x + WanCrossAttention(cfg, name="cross_attn")(xn.astype(cfg.dtype), context)
+        xn = ln("norm2")(x) * (1 + sc2) + sh2
+        ff = nn.gelu(nn.Dense(cfg.ffn_dim, dtype=cfg.dtype,
+                              name="ffn_0")(xn.astype(cfg.dtype)), approximate=True)
+        ff = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="ffn_2")(ff)
+        return x + g2 * ff
+
+
+class _ScanWanBlock(nn.Module):
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, tokens, cond):
+        e6, context, pe = cond
+        out = WanBlock(self.cfg, name="block")(tokens, e6, context, pe)
+        # keep the scan carry dtype stable (modulation math runs fp32)
+        return out.astype(tokens.dtype), None
+
+
+def video_ids(b, f, h, w) -> jnp.ndarray:
+    """(B, F*H*W, 3) position ids over (frame, y, x) token grid."""
+    fs = jnp.repeat(jnp.arange(f), h * w)
+    ys = jnp.tile(jnp.repeat(jnp.arange(h), w), f)
+    xs = jnp.tile(jnp.arange(w), f * h)
+    ids = jnp.stack([fs, ys, xs], axis=-1)
+    return jnp.tile(ids[None], (b, 1, 1))
+
+
+class WanModel(nn.Module):
+    """__call__(x_ncfhw, t, context) -> velocity prediction (B,C,F,H,W)."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, x, t, context):
+        cfg = self.cfg
+        b, c, f, hh, ww = x.shape
+        pf, ph, pw = cfg.patch
+        gf, gh, gw = f // pf, hh // ph, ww // pw
+
+        # 3D patchify: implemented as reshape+transpose+Dense (equivalent to
+        # the stride-(1,2,2) Conv3D but lowers to one big MXU matmul).
+        xt = x.reshape(b, c, gf, pf, gh, ph, gw, pw)
+        xt = jnp.transpose(xt, (0, 2, 4, 6, 1, 3, 5, 7))
+        tokens = xt.reshape(b, gf * gh * gw, c * pf * ph * pw).astype(cfg.dtype)
+        tokens = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="patch_embedding")(tokens)
+
+        context = nn.gelu(nn.Dense(cfg.hidden, dtype=cfg.dtype,
+                                   name="text_embedding_0")(context.astype(cfg.dtype)),
+                          approximate=True)
+        context = nn.Dense(cfg.hidden, dtype=cfg.dtype,
+                           name="text_embedding_2")(context)
+
+        te = MLPEmbedder(cfg.hidden, dtype=cfg.dtype, name="time_embedding")(
+            timestep_embedding(t * 1000.0, 256).astype(cfg.dtype))
+        e6 = nn.Dense(6 * cfg.hidden, dtype=cfg.dtype,
+                      name="time_projection")(nn.silu(te))
+        e6 = e6.reshape(b, 6, cfg.hidden)
+
+        pe = rope_freqs(video_ids(b, gf, gh, gw), cfg.axes_dim)
+
+        # scan over depth: 40 identical blocks -> one XLA while-body.
+        scan = nn.scan(
+            _ScanWanBlock, variable_axes={"params": 0},
+            split_rngs={"params": True}, length=cfg.depth,
+            in_axes=nn.broadcast,
+        )
+        tokens, _ = scan(cfg, name="blocks")(tokens, (e6, context, pe))
+
+        # head: modulated norm + linear to patch voxels
+        head_mod = self.param("head_modulation", nn.initializers.normal(0.02),
+                              (1, 2, cfg.hidden), jnp.float32)
+        he = head_mod + te.astype(jnp.float32)[:, None]
+        sh, sc = he[:, 0][:, None], he[:, 1][:, None]
+        tn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=cfg.eps,
+                          dtype=jnp.float32, name="head_norm")(tokens)
+        tn = tn * (1 + sc) + sh
+        out = nn.Dense(cfg.out_channels * pf * ph * pw, dtype=jnp.float32,
+                       name="head")(tn.astype(jnp.float32))
+
+        out = out.reshape(b, gf, gh, gw, cfg.out_channels, pf, ph, pw)
+        out = jnp.transpose(out, (0, 4, 1, 5, 2, 6, 3, 7))
+        return out.reshape(b, cfg.out_channels, f, hh, ww)

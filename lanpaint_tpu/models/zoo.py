@@ -1,0 +1,249 @@
+"""Model zoo: packaged Denoisers for every backbone family the reference
+supports (reference README.md:131-139: SDXL/SD1.5 eps-pred; Flux, Qwen,
+Z-Image, SD3.5, HiDream flow DiT; Wan2.2 video DiT).
+
+Each build_* returns (Denoiser, params).  Params default to random init (for
+shape-correct testing/benching on TPU without checkpoint access); pass
+`params=` from models.load to use real weights.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelKind
+from ..sigmas import EpsSigmaTable, FlowSigmaTable
+from .base import Denoiser
+from .dit import (
+    DiTConfig,
+    FLUX_DEV_CONFIG,
+    FLUX_SCHNELL_CONFIG,
+    MMDiT,
+    QWEN_IMAGE_CONFIG,
+    TINY_DIT_CONFIG,
+    Z_IMAGE_CONFIG,
+)
+from .unet import SD15_CONFIG, SD21_CONFIG, SDXL_CONFIG, TINY_UNET_CONFIG, UNetConfig, UNetModel
+from .wan import TINY_WAN_CONFIG, WAN22_T2V_14B_CONFIG, WAN22_TI2V_5B_CONFIG, WanConfig, WanModel
+
+
+def _bc(t, ndim):
+    t = jnp.asarray(t)
+    return t.reshape(t.shape[:1] + (1,) * (ndim - 1))
+
+
+def init_params_host(module, *args, seed: int = 0, scale: float = 0.02):
+    """Random-init parameters on the HOST (numpy), not the device.
+
+    `module.init` on the tunneled TPU compiles a huge per-parameter RNG
+    program (measured: ~10 min for SDXL vs 26 s for the forward itself), so
+    random benchmark/test weights are generated with numpy from the shape
+    tree instead: kernels ~ N(0, scale^2), biases/norm-offsets zero,
+    scales one.
+    """
+    import numpy as np
+
+    shapes = jax.eval_shape(module.init, jax.random.PRNGKey(seed), *args)
+    rng = np.random.default_rng(seed)
+
+    def leaf(path, s):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name in ("bias", "shift") or name.endswith("bias"):
+            return jnp.zeros(s.shape, s.dtype)
+        if name == "scale":
+            return jnp.ones(s.shape, s.dtype)
+        arr = rng.standard_normal(s.shape, dtype=np.float32) * scale
+        return jnp.asarray(arr, s.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, shapes)
+
+
+# --------------------------------------------------------------------------
+# eps-prediction UNets (SD1.5 / SD2.1 / SDXL)
+
+
+def build_unet(
+    config: UNetConfig,
+    params: Optional[Any] = None,
+    *,
+    v_prediction: bool = False,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "unet",
+):
+    module = UNetModel(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.in_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        y = (jnp.zeros((b, config.adm_in_channels), jnp.float32)
+             if config.adm_in_channels else None)
+        params = init_params_host(module, x, jnp.zeros((b,)), ctx, y, seed=seed)
+    table = EpsSigmaTable()
+    log_sigmas = jnp.asarray(jnp.log(jnp.asarray(table.sigmas)), jnp.float32)
+
+    def sigma_to_timestep(sigma):
+        # traceable log-sigma interpolation into the discrete table
+        # (ComfyUI ModelSamplingDiscrete.timestep analogue)
+        return jnp.interp(jnp.log(jnp.maximum(sigma, 1e-10)), log_sigmas,
+                          jnp.arange(log_sigmas.shape[0], dtype=jnp.float32))
+
+    # eps: x0 = x - sigma * eps, with eps predicted from the VP-scaled input
+    # (c_in scaling, ComfyUI EPS.calculate_denoised analogue).
+    def apply_eps(x, sigma, cond):
+        s = _bc(sigma, x.ndim)
+        x_in = x / jnp.sqrt(1.0 + s**2)
+        t_disc = sigma_to_timestep(sigma)
+        y = cond.get("y") if isinstance(cond, dict) else None
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        eps = module.apply(params, x_in, t_disc, ctx, y)
+        if v_prediction:
+            return x / (1.0 + s**2) - s / jnp.sqrt(1.0 + s**2) * eps
+        return x - s * eps
+
+    den = Denoiser(apply=apply_eps, kind=ModelKind.EPS, sigma_table=table,
+                   name=name, latent_channels=config.in_channels)
+    return den, params
+
+
+def build_sd15(params=None, **kw):
+    return build_unet(SD15_CONFIG, params, name="sd15", **kw)
+
+
+def build_sd21_v(params=None, **kw):
+    return build_unet(SD21_CONFIG, params, v_prediction=True, name="sd21-v", **kw)
+
+
+def build_sdxl(params=None, **kw):
+    return build_unet(SDXL_CONFIG, params, name="sdxl", **kw)
+
+
+def build_tiny_unet(params=None, **kw):
+    return build_unet(TINY_UNET_CONFIG, params, name="tiny-unet", **kw)
+
+
+# --------------------------------------------------------------------------
+# flow-matching DiTs (Flux family, Qwen-Image, Z-Image)
+
+
+def build_dit(
+    config: DiTConfig,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 1.0,
+    is_flux: bool = True,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "dit",
+):
+    module = MMDiT(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.latent_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        vec = (jnp.zeros((b, config.vec_dim), jnp.float32)
+               if config.vec_dim > 0 else None)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, vec,
+                                  seed=seed)
+
+    def apply(x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vec = cond.get("vec") if isinstance(cond, dict) else None
+        guidance = cond.get("guidance") if isinstance(cond, dict) else None
+        extra = cond.get("ref_tokens") if isinstance(cond, dict) else None
+        vel = module.apply(params, x, t, ctx, vec, guidance, extra)
+        return x - tb * vel  # velocity = noise - x0  =>  x0 = x - t*v
+
+    den = Denoiser(apply=apply, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), is_flux=is_flux,
+                   name=name, latent_channels=config.latent_channels)
+    return den, params
+
+
+def build_flux_dev(params=None, **kw):
+    return build_dit(FLUX_DEV_CONFIG, params, shift=1.15, is_flux=True,
+                     name="flux-dev", **kw)
+
+
+def build_flux_schnell(params=None, **kw):
+    return build_dit(FLUX_SCHNELL_CONFIG, params, shift=1.0, is_flux=True,
+                     name="flux-schnell", **kw)
+
+
+def build_qwen_image(params=None, **kw):
+    return build_dit(QWEN_IMAGE_CONFIG, params, shift=2.2, is_flux=False,
+                     name="qwen-image", **kw)
+
+
+def build_z_image(params=None, **kw):
+    return build_dit(Z_IMAGE_CONFIG, params, shift=3.0, is_flux=False,
+                     name="z-image", **kw)
+
+
+def build_tiny_dit(params=None, **kw):
+    return build_dit(TINY_DIT_CONFIG, params, is_flux=False, name="tiny-dit", **kw)
+
+
+# --------------------------------------------------------------------------
+# Wan2.2 video DiT (+ high/low-noise expert pair)
+
+
+def build_wan(
+    config: WanConfig,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 5.0,
+    init_shape=(1, 4, 16, 16),
+    seed: int = 0,
+    name: str = "wan",
+):
+    module = WanModel(config)
+    if params is None:
+        b = 1
+        f, hh, ww = init_shape[1], init_shape[2], init_shape[3]
+        x = jnp.zeros((b, config.in_channels, f, hh, ww), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, seed=seed)
+
+    def apply(x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vel = module.apply(params, x, t, ctx)
+        return x - tb * vel
+
+    den = Denoiser(apply=apply, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), name=name,
+                   latent_channels=config.in_channels)
+    return den, params
+
+
+def build_tiny_wan(params=None, **kw):
+    return build_wan(TINY_WAN_CONFIG, params, name="tiny-wan", **kw)
+
+
+def switching_denoiser(high: Denoiser, low: Denoiser, boundary: float = 0.875,
+                       name: str = "wan22-moe") -> Denoiser:
+    """Two-expert timestep-switched denoiser (Wan2.2 high-noise + low-noise
+    pair, reference README.md:219-225 'high+low noise'; also the dual-model
+    guider pattern of the Ideogram4 workflow, nodes.py:558-626).
+
+    The high-noise expert handles t >= boundary.  Under jit this is a
+    `lax.cond`, so only one expert executes per step.
+    """
+    assert high.kind == low.kind
+
+    def apply(x, t, cond):
+        use_high = jnp.mean(t) >= boundary
+        return jax.lax.cond(use_high,
+                            lambda operands: high.apply(*operands),
+                            lambda operands: low.apply(*operands),
+                            (x, t, cond))
+
+    return Denoiser(apply=apply, kind=high.kind, sigma_table=high.sigma_table,
+                    is_flux=high.is_flux, name=name,
+                    latent_channels=high.latent_channels)

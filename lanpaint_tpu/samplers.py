@@ -305,6 +305,28 @@ def _res_multistep_ancestral(model, c, s, sn, i, key):
     return _res_multistep_core(model, c, s, sn, i, key, eta=1.0)
 
 
+@register_solver("er_sde")
+def _er_sde(model, c, s, sn, i, key):
+    """Extended reverse-time SDE solver, order 1 (ER-SDE-Solver-1).
+
+    x_{n+1} = r x_n + (1-r) x0_n + sqrt(sn^2 - r^2 s^2) eps with
+    r = psi(sn)/psi(s) and the customary noise-scale function
+    psi(s) = s * (exp(s^0.3) + 10).  Higher-order history corrections are a
+    known gap vs. the reference whitelist (tracked in docs/parity.md).
+    """
+    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+
+    def step(x):
+        psi = lambda sig: sig * (jnp.exp(sig**0.3) + 10.0)
+        r = psi(sn) / psi(s)
+        x_d = r * x + (1 - r) * den
+        var = jnp.maximum(sn**2 - r**2 * s**2, 0.0)
+        return x_d + _noise_like(x_d, jax.random.fold_in(key, 0)) * jnp.sqrt(var)
+
+    x = lax.cond(sn > 0, step, lambda x: den, x)
+    return c._replace(x=x), den
+
+
 @register_solver("gradient_estimation")
 def _gradient_estimation(model, c, s, sn, i, key, ge_gamma=2.0):
     den, x = model(c.x, s, jax.random.fold_in(key, 100))

@@ -1,0 +1,141 @@
+"""Fused Pallas kernel equivalence tests (interpret mode on CPU).
+
+With noise_mult=0 the kernels are deterministic and must match the jnp
+reference path (ops.sho applies + engine mixing) exactly; the stochastic
+parts are validated statistically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanpaint_tpu.config import LanPaintConfig, ModelKind
+from lanpaint_tpu.ops import fused
+from lanpaint_tpu.ops.sho import ou_apply, ou_coeffs, sho_apply, sho_coeffs
+from lanpaint_tpu.schedule import unify_times
+
+B, M = 2, 256
+
+
+def _setup(key):
+    cfg = LanPaintConfig(n_steps=3)
+    sigma = jnp.asarray([1.0, 2.0], jnp.float32)
+    times = unify_times(sigma, ModelKind.EPS)
+    cx, cy = fused.pack_branch_coeffs(cfg, times)
+    ks = jax.random.split(key, 5)
+    x = jax.random.normal(ks[0], (B, M), jnp.float32)
+    v = jax.random.normal(ks[1], (B, M), jnp.float32) * 0.1
+    c = jax.random.normal(ks[2], (B, M), jnp.float32)
+    c2 = jax.random.normal(ks[3], (B, M), jnp.float32)
+    mask = (jax.random.uniform(ks[4], (B, M)) > 0.5).astype(jnp.float32)
+    return cfg, times, cx, cy, x, v, c, c2, mask
+
+
+def _branch_params(cfg, times):
+    abt = times.abt
+    one_m = 1.0 - abt
+    step_eff = cfg.step_size * one_m
+    dt_x, dt_y = step_eff, step_eff * cfg.beta
+    gamma_x = cfg.friction**2 * cfg.step_size / 0.1 / 2.0 / dt_x
+    gamma_y = cfg.friction**2 * cfg.step_size * cfg.beta / 0.1 / 2.0 / dt_y
+    a_x, a_y = 1.0 / one_m, (1.0 + cfg.lamb) / one_m
+    d = jnp.sqrt(2.0)
+    return dt_x, dt_y, gamma_x, gamma_y, a_x, a_y, d
+
+
+def _mix(cx, cy, mask):
+    return cx + (cy - cx) * mask
+
+
+def test_half_step_deterministic_equivalence(key):
+    cfg, times, cx, cy, x, v, c, _, mask = _setup(key)
+    xh, vh, xh_o = fused.fused_half_step(0, cx, cy, 0.0, x, v, c, mask,
+                                         interpret=True)
+    dt_x, dt_y, gx, gy, ax, ay, d = _branch_params(cfg, times)
+    bc = lambda t: jnp.broadcast_to(t[:, None], (B, M))
+
+    shx = sho_coeffs(gx, ax, d, dt_x / 2)
+    shy = sho_coeffs(gy, ay, d, dt_y / 2)
+    a_m = _mix(bc(ax), bc(ay), mask)
+    z = jnp.zeros_like(x)
+    yx, vx = sho_apply(type(shx)(*(bc(f) for f in shx)), x, v, a_m, c, z, z)
+    yy, vy = sho_apply(type(shy)(*(bc(f) for f in shy)), x, v, a_m, c, z, z)
+    want_x = _mix(yx, yy, mask)
+    want_v = _mix(vx, vy, mask)
+    np.testing.assert_allclose(np.asarray(xh), np.asarray(want_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vh), np.asarray(want_v),
+                               rtol=1e-5, atol=1e-6)
+
+    oux = ou_coeffs(ax, d, dt_x / 2)
+    ouy = ou_coeffs(ay, d, dt_y / 2)
+    ox = ou_apply(type(oux)(*(bc(f) for f in oux)), x, c, z)
+    oy = ou_apply(type(ouy)(*(bc(f) for f in ouy)), x, c, z)
+    np.testing.assert_allclose(np.asarray(xh_o), np.asarray(_mix(ox, oy, mask)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_finish_warm_deterministic_equivalence(key):
+    cfg, times, cx, cy, x, v, c, c2, mask = _setup(key)
+    xh, vh, xh_o = fused.fused_half_step(0, cx, cy, 0.0, x, v, c, mask,
+                                         interpret=True)
+    x_new, v_new = fused.fused_finish(1, cx, cy, 0.0, 1, x, xh, vh, xh_o,
+                                      c, c2, mask, interpret=True)
+    dt_x, dt_y, gx, gy, ax, ay, d = _branch_params(cfg, times)
+    bc = lambda t: jnp.broadcast_to(t[:, None], (B, M))
+    a_m = _mix(bc(ax), bc(ay), mask)
+    sg_dt = _mix(bc(jnp.sqrt(gx) * dt_x), bc(jnp.sqrt(gy) * dt_y), mask)
+    z = jnp.zeros_like(x)
+
+    v_kick = vh + sg_dt * (c2 - c)
+    shx = sho_coeffs(gx, ax, d, dt_x / 2)
+    shy = sho_coeffs(gy, ay, d, dt_y / 2)
+    yx, vx = sho_apply(type(shx)(*(bc(f) for f in shx)), xh, v_kick, a_m, c, z, z)
+    yy, vy = sho_apply(type(shy)(*(bc(f) for f in shy)), xh, v_kick, a_m, c, z, z)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(_mix(yx, yy, mask)),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_new), np.asarray(_mix(vx, vy, mask)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_finish_cold_deterministic_equivalence(key):
+    cfg, times, cx, cy, x, v, c, c2, mask = _setup(key)
+    xh, vh, xh_o = fused.fused_half_step(0, cx, cy, 0.0, x, v, c, mask,
+                                         interpret=True)
+    x_new, v_new = fused.fused_finish(1, cx, cy, 0.0, 0, x, xh, vh, xh_o,
+                                      c, c2, mask, interpret=True)
+    dt_x, dt_y, gx, gy, ax, ay, d = _branch_params(cfg, times)
+    bc = lambda t: jnp.broadcast_to(t[:, None], (B, M))
+    a_m = _mix(bc(ax), bc(ay), mask)
+    z = jnp.zeros_like(x)
+    # cold path: full step from x with C_new, v from stationary (0 at nm=0)
+    sfx = sho_coeffs(gx, ax, d, dt_x)
+    sfy = sho_coeffs(gy, ay, d, dt_y)
+    yx, vx = sho_apply(type(sfx)(*(bc(f) for f in sfx)), x, z, a_m, c2, z, z)
+    yy, vy = sho_apply(type(sfy)(*(bc(f) for f in sfy)), x, z, a_m, c2, z, z)
+    np.testing.assert_allclose(np.asarray(x_new), np.asarray(_mix(yx, yy, mask)),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="interpret mode stubs the TPU PRNG to zeros; "
+                           "run on real TPU (covered by the verify drive)")
+def test_kernel_noise_statistics(key):
+    """In-kernel Box-Muller noise must give the right (y, v) covariance."""
+    cfg = LanPaintConfig(n_steps=1)
+    sigma = jnp.ones((1,), jnp.float32)
+    times = unify_times(sigma, ModelKind.EPS)
+    cx, cy = fused.pack_branch_coeffs(cfg, times)
+    n = 1 << 15
+    x = jnp.zeros((1, n), jnp.float32)
+    v = jnp.zeros((1, n), jnp.float32)
+    c = jnp.zeros((1, n), jnp.float32)
+    mask = jnp.zeros((1, n), jnp.float32)
+    xh, vh, _ = fused.fused_half_step(123, cx, cy, 1.0, x, v, c, mask,
+                                      interpret=True)
+    # expected std: l_yy of the x-branch half step
+    dt_x, _, gx, _, ax, _, d = _branch_params(cfg, times)
+    co = sho_coeffs(gx, ax, d, dt_x / 2)
+    np.testing.assert_allclose(float(jnp.std(xh)), float(co.l_yy[0]), rtol=0.05)
+    np.testing.assert_allclose(float(jnp.mean(xh)), 0.0, atol=4 * float(co.l_yy[0]) / np.sqrt(n))

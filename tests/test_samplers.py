@@ -55,6 +55,7 @@ SDE_SOLVERS = [
     "dpmpp_2m_sde",
     "dpmpp_3m_sde",
     "res_multistep_ancestral",
+    "er_sde",
 ]
 
 
