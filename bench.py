@@ -39,15 +39,18 @@ def main():
     from lanpaint_tpu.models.zoo import build_unet
     from lanpaint_tpu.sigmas import calculate_sigmas
 
+    import ml_dtypes
+    import numpy as onp
+
     log = lambda m: print(m, file=sys.stderr, flush=True)
     log("bench: init SDXL params (host)")
     den, params = build_unet(SDXL_CONFIG, init_hw=32, name="sdxl")
-    # bf16 weights (TPU serving layout)
-    den_bf16, _ = build_unet(
-        SDXL_CONFIG,
-        jax.tree.map(lambda p: p.astype(jnp.bfloat16), params),
-        name="sdxl",
+    # bf16 weights (TPU serving layout); cast on host — per-leaf device casts
+    # through the tunnel are slow
+    params = jax.tree.map(
+        lambda p: onp.asarray(p).astype(ml_dtypes.bfloat16), params
     )
+    den_bf16, _ = build_unet(SDXL_CONFIG, params, name="sdxl")
     del params
 
     b = 1

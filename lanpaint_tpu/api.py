@@ -62,7 +62,12 @@ class LanPaintSampler:
         prompt_mode: str = "Image First",
         disable_cfg1_optimization: bool = False,
         denoise_mask_fn: Optional[Callable] = None,
+        callback: Optional[Callable] = None,
     ):
+        # callback(i, denoised, x) fires per outer step from inside the
+        # compiled scan via jax.debug.callback (host round-trip; preview use
+        # only — see utils.make_preview_callback for the every-2-steps
+        # throttle matching reference nodes.py:188-196).
         self.model = model
         self.config = config
         self.sampler_name = sampler_name
@@ -72,20 +77,23 @@ class LanPaintSampler:
         self.cfg_big = float(cfg_big)
         self.disable_cfg1_optimization = disable_cfg1_optimization
         self.denoise_mask_fn = denoise_mask_fn
+        self.callback = callback
         self._jit_inpaint = jax.jit(self._run_inpaint)
         self._jit_plain = jax.jit(self._run_plain)
 
     # -- compiled bodies ---------------------------------------------------
 
-    def _denoise_pair(self, cond, uncond):
+    def _denoise_pair(self, params, cond, uncond):
+        # params flow through jit as an argument (model.bind) so weights are
+        # never baked into the HLO as constants.
         return make_cfg_double_denoiser(
-            self.model.apply, cond, uncond, self.cfg, self.cfg_big,
+            self.model.bind(params), cond, uncond, self.cfg, self.cfg_big,
             self.disable_cfg1_optimization,
         )
 
-    def _run_inpaint(self, x_init, think_noise, sigmas, latent, denoise_mask,
-                     cond, uncond, key):
-        denoise = self._denoise_pair(cond, uncond)
+    def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,
+                     denoise_mask, cond, uncond, key, tables):
+        denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
         cfg_ = self.config
         total = sigmas.shape[0] - 1
@@ -110,13 +118,14 @@ class LanPaintSampler:
             return out, x_new
 
         samples, den_all = samplers.sample(
-            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key
+            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
+            callback=self.callback, tables=tables,
         )
         samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
         return samples, den_all
 
-    def _run_plain(self, x_init, sigmas, cond, uncond, key):
-        denoise = self._denoise_pair(cond, uncond)
+    def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables):
+        denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
 
         def wrapped(x, sigma, k):
@@ -127,7 +136,8 @@ class LanPaintSampler:
             return out, x
 
         samples, den_all = samplers.sample(
-            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key
+            wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
+            callback=self.callback, tables=tables,
         )
         samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
         return samples, den_all
@@ -173,11 +183,15 @@ class LanPaintSampler:
             noise, latent, max_denoise=_max_denoise(sigmas, self.model.sigma_table),
         )
 
+        tables = samplers.prepare_tables(self.sampler_name, np.asarray(sigmas))
+        params = self.model.params  # traced through jit; None is fine
         if mask is None:
-            return self._jit_plain(x_init, sigmas, cond, uncond, k_solve)
+            return self._jit_plain(params, x_init, sigmas, cond, uncond,
+                                   k_solve, tables)
         denoise_mask = prepare_mask(mask, latent.shape, video)
         return self._jit_inpaint(
-            x_init, think_noise, sigmas, latent, denoise_mask, cond, uncond, k_solve
+            params, x_init, think_noise, sigmas, latent, denoise_mask, cond,
+            uncond, k_solve, tables,
         )
 
 

@@ -52,11 +52,13 @@ class StopState(NamedTuple):
 
 
 class ThinkCarry(NamedTuple):
-    i: jnp.ndarray             # int32 iteration counter
+    i: jnp.ndarray             # int32 langevin-iteration counter
     x_t: jnp.ndarray           # VP-space latent (fp32)
     v: jnp.ndarray             # Langevin velocity (fp32)
     c: jnp.ndarray             # drift coefficient C (fp32)
     x0: jnp.ndarray            # last region-mixed x0 estimate (fp32)
+    out: jnp.ndarray           # final blended x0 (set on the final iteration)
+    finished: jnp.ndarray      # bool: final denoise done, loop exits
     stop: StopState
     trace: jnp.ndarray         # (n_steps_max, TRACE_WIDTH) fp32
 
@@ -258,10 +260,8 @@ def lanpaint_update(
         seed_base = jax.random.randint(jax.random.fold_in(k_loop, 0xF5),
                                        (), 0, 2**31 - 1, jnp.int32)
 
-    def coef_c(x_eval):
+    def score_to_c(x_eval, x0, x0_big):
         """Bidirectional score -> drift C (lanpaint.py:125-141, 174-177)."""
-        x_model, t_model = vp_to_model_coords(kind, x_eval, times, ndim)
-        x0, x0_big = denoise(x_model, t_model)
         x0 = x0.astype(jnp.float32)
         x0_big = x0_big.astype(jnp.float32)
         score_x = -(x_eval - x0)
@@ -293,6 +293,8 @@ def lanpaint_update(
         v=zero,
         c=zero,
         x0=zero,
+        out=zero,
+        finished=jnp.asarray(False),
         stop=StopState(
             patience=jnp.int32(0),
             anchor=zero,
@@ -303,26 +305,29 @@ def lanpaint_update(
     )
 
     n_steps = jnp.minimum(jnp.asarray(n_steps, jnp.int32), n_max)
+    t_model_native = times.flow_t if kind is ModelKind.FLOW else times.ve_sigma
+
+    # The final denoise runs as the loop's LAST iteration (is_final below)
+    # instead of as a second model call site after the loop: the whole
+    # lanpaint_update then contains exactly ONE instance of the backbone in
+    # the compiled program — with the reference structure (loop + separate
+    # final forward, lanpaint.py:117) the backbone is compiled twice, which
+    # (measured) multiplies TPU compile time.
 
     def cond_fn(carry: ThinkCarry):
-        return (carry.i < n_steps) & (~carry.stop.stopped) & params.dt_pos
+        return ~carry.finished
 
     def body_fn(carry: ThinkCarry) -> ThinkCarry:
         i = carry.i
         warm = i > 0
         x_t_in, v_in, c_old = carry.x_t, carry.v, carry.c
+        is_final = (i >= n_steps) | carry.stop.stopped | (~params.dt_pos)
 
         if use_fused:
             x2, v2, c2 = _to2d(x_t_in), _to2d(v_in), _to2d(c_old)
             xh2, vh2, xho2 = _fused.fused_half_step(
                 seed_base + 2 * i, coef_x, coef_y, 1.0, x2, v2, c2, mask2)
-            x_eval = jnp.where(warm, _from2d(xh2), x_t_in)
-            c_new, x0_eff = coef_c(x_eval)
-            xn2, vn2 = _fused.fused_finish(
-                seed_base + 2 * i + 1, coef_x, coef_y, 1.0,
-                warm.astype(jnp.int32), x2, xh2, vh2, xho2, c2,
-                _to2d(c_new), mask2)
-            x_new, v_new = _from2d(xn2), _from2d(vn2)
+            xh = _from2d(xh2)
         else:
             k_i = jax.random.fold_in(k_loop, i)
             k_y1, k_v1, k_y2, k_v2, k_v0 = jax.random.split(k_i, 5)
@@ -342,11 +347,22 @@ def lanpaint_update(
             xh = jnp.where(bad_h, xh_o, xh_d)
             vh = jnp.where(bad_h, v_stat, vh_d)
 
-            # Single model call per iteration: at the half-point when warm, at
-            # the current iterate when cold (reference lanpaint.py:214 vs :220).
-            x_eval = jnp.where(warm, xh, x_t_in)
-            c_new, x0_eff = coef_c(x_eval)
+        # Single model call per iteration — the ONLY backbone call site:
+        # langevin cold step evaluates at x_t, warm at the half-point
+        # (reference lanpaint.py:214 vs :220), final at x_t (lanpaint.py:117).
+        x_eval = jnp.where(warm & ~is_final, xh, x_t_in)
+        x_model, t_model = vp_to_model_coords(kind, x_eval, times, ndim)
+        x0_raw, x0_big = denoise(x_model, t_model)
+        out_final = x0_raw.astype(jnp.float32) * (1.0 - mask) + latent_f * mask
+        c_new, x0_eff = score_to_c(x_eval, x0_raw, x0_big)
 
+        if use_fused:
+            xn2, vn2 = _fused.fused_finish(
+                seed_base + 2 * i + 1, coef_x, coef_y, 1.0,
+                warm.astype(jnp.int32), x2, xh2, vh2, xho2, c2,
+                _to2d(c_new), mask2)
+            x_new, v_new = _from2d(xn2), _from2d(vn2)
+        else:
             # warm finish
             v_kick = vh + params.sqrt_gamma_dt * (c_new - c_old)
             xf_d, vf_d = sho_apply(params.sho_half, xh, v_kick, params.a, c_old, eps_y2, eps_v2)
@@ -411,22 +427,35 @@ def lanpaint_update(
                 threshold_used, patience.astype(jnp.float32),
                 stopped.astype(jnp.float32),
             ])
-            trace = lax.dynamic_update_slice(trace, row[None, :], (i, 0))
-            stop = StopState(patience=patience, anchor=anchor,
-                             anchor_valid=anchor_valid, stopped=stopped)
+            trace_upd = lax.dynamic_update_slice(trace, row[None, :], (i, 0))
+            trace = jnp.where(is_final, trace, trace_upd)
+            stop = StopState(
+                patience=jnp.where(is_final, carry.stop.patience, patience),
+                anchor=jnp.where(is_final, carry.stop.anchor, anchor),
+                anchor_valid=jnp.where(is_final, carry.stop.anchor_valid,
+                                       anchor_valid),
+                stopped=jnp.where(is_final, carry.stop.stopped, stopped),
+            )
 
-        return ThinkCarry(i=i + 1, x_t=x_new, v=v_new, c=c_new, x0=x0_eff,
-                          stop=stop, trace=trace)
+        # Final iteration: keep the langevin state, record the blended x0.
+        return ThinkCarry(
+            i=jnp.where(is_final, i, i + 1),
+            x_t=jnp.where(is_final, x_t_in, x_new),
+            v=jnp.where(is_final, v_in, v_new),
+            c=jnp.where(is_final, c_old, c_new),
+            x0=jnp.where(is_final, carry.x0, x0_eff),
+            out=jnp.where(is_final, out_final, carry.out),
+            finished=is_final,
+            stop=stop,
+            trace=trace,
+        )
 
     final = lax.while_loop(cond_fn, body_fn, carry0)
 
-    # VP -> native coords, final denoise, known-region blend (lanpaint.py:110-120).
-    # Model coordinates coincide with native sampler coordinates, so the final
-    # forward consumes x_out directly (reference lanpaint.py:117-118).
+    # VP -> native coords (lanpaint.py:110-113); the final denoise + blend
+    # already happened inside the loop's last iteration.
     x_out = from_vp(kind, final.x_t, times, ndim)
-    t_model = times.flow_t if kind is ModelKind.FLOW else times.ve_sigma
-    out, _ = denoise(x_out, t_model)
-    out = out.astype(jnp.float32) * (1.0 - mask) + latent_f * mask
+    out = final.out
 
     aux = ThinkAux(steps_done=final.i, trace=final.trace)
     return out.astype(in_dtype), x_out.astype(in_dtype), aux

@@ -69,3 +69,17 @@ class Denoiser:
     latent_channels: int = 4
     # Optional latent post-processing (comfy process_latent_out analogue).
     process_latent_out: Optional[Callable] = None
+    # Weight-as-argument path: raw_apply(params, x, t, cond) plus the param
+    # tree.  When present, the sampler passes `params` through jit as an
+    # ARGUMENT instead of capturing them as closure constants — closure
+    # capture serializes the full weights into the HLO, which (measured)
+    # stalls the remote TPU compiler for many minutes on SDXL.
+    raw_apply: Optional[Callable] = None
+    params: Any = None
+
+    def bind(self, params=None):
+        """Return an apply(x, t, cond) bound to `params` (or self.params)."""
+        if self.raw_apply is None:
+            return self.apply
+        p = self.params if params is None else params
+        return lambda x, t, cond: self.raw_apply(p, x, t, cond)

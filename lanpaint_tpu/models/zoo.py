@@ -44,20 +44,28 @@ def init_params_host(module, *args, seed: int = 0, scale: float = 0.02):
     random benchmark/test weights are generated with numpy from the shape
     tree instead: kernels ~ N(0, scale^2), biases/norm-offsets zero,
     scales one.
+
+    Leaves are plain numpy (ml_dtypes for bf16): the device transfer then
+    happens once, batched, on the first jitted call — per-leaf device puts
+    through the tunnel are another multi-minute trap.
     """
+    import ml_dtypes
     import numpy as np
 
     shapes = jax.eval_shape(module.init, jax.random.PRNGKey(seed), *args)
     rng = np.random.default_rng(seed)
 
+    def np_dtype(dt):
+        return ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
+
     def leaf(path, s):
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
         if name in ("bias", "shift") or name.endswith("bias"):
-            return jnp.zeros(s.shape, s.dtype)
+            return np.zeros(s.shape, np_dtype(s.dtype))
         if name == "scale":
-            return jnp.ones(s.shape, s.dtype)
+            return np.ones(s.shape, np_dtype(s.dtype))
         arr = rng.standard_normal(s.shape, dtype=np.float32) * scale
-        return jnp.asarray(arr, s.dtype)
+        return arr.astype(np_dtype(s.dtype))
 
     return jax.tree_util.tree_map_with_path(leaf, shapes)
 
@@ -94,18 +102,20 @@ def build_unet(
 
     # eps: x0 = x - sigma * eps, with eps predicted from the VP-scaled input
     # (c_in scaling, ComfyUI EPS.calculate_denoised analogue).
-    def apply_eps(x, sigma, cond):
+    def raw_apply(p, x, sigma, cond):
         s = _bc(sigma, x.ndim)
         x_in = x / jnp.sqrt(1.0 + s**2)
         t_disc = sigma_to_timestep(sigma)
         y = cond.get("y") if isinstance(cond, dict) else None
         ctx = cond["context"] if isinstance(cond, dict) else cond
-        eps = module.apply(params, x_in, t_disc, ctx, y)
+        eps = module.apply(p, x_in, t_disc, ctx, y)
         if v_prediction:
             return x / (1.0 + s**2) - s / jnp.sqrt(1.0 + s**2) * eps
         return x - s * eps
 
-    den = Denoiser(apply=apply_eps, kind=ModelKind.EPS, sigma_table=table,
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params,
+                   kind=ModelKind.EPS, sigma_table=table,
                    name=name, latent_channels=config.in_channels)
     return den, params
 
@@ -150,16 +160,17 @@ def build_dit(
         params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, vec,
                                   seed=seed)
 
-    def apply(x, t, cond):
+    def raw_apply(p, x, t, cond):
         tb = _bc(t, x.ndim)
         ctx = cond["context"] if isinstance(cond, dict) else cond
         vec = cond.get("vec") if isinstance(cond, dict) else None
         guidance = cond.get("guidance") if isinstance(cond, dict) else None
         extra = cond.get("ref_tokens") if isinstance(cond, dict) else None
-        vel = module.apply(params, x, t, ctx, vec, guidance, extra)
+        vel = module.apply(p, x, t, ctx, vec, guidance, extra)
         return x - tb * vel  # velocity = noise - x0  =>  x0 = x - t*v
 
-    den = Denoiser(apply=apply, kind=ModelKind.FLOW,
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
                    sigma_table=FlowSigmaTable(shift=shift), is_flux=is_flux,
                    name=name, latent_channels=config.latent_channels)
     return den, params
@@ -210,13 +221,14 @@ def build_wan(
         ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
         params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, seed=seed)
 
-    def apply(x, t, cond):
+    def raw_apply(p, x, t, cond):
         tb = _bc(t, x.ndim)
         ctx = cond["context"] if isinstance(cond, dict) else cond
-        vel = module.apply(params, x, t, ctx)
+        vel = module.apply(p, x, t, ctx)
         return x - tb * vel
 
-    den = Denoiser(apply=apply, kind=ModelKind.FLOW,
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
                    sigma_table=FlowSigmaTable(shift=shift), name=name,
                    latent_channels=config.in_channels)
     return den, params
@@ -236,14 +248,18 @@ def switching_denoiser(high: Denoiser, low: Denoiser, boundary: float = 0.875,
     `lax.cond`, so only one expert executes per step.
     """
     assert high.kind == low.kind
+    params = {"high": high.params, "low": low.params}
 
-    def apply(x, t, cond):
+    def raw_apply(p, x, t, cond):
         use_high = jnp.mean(t) >= boundary
-        return jax.lax.cond(use_high,
-                            lambda operands: high.apply(*operands),
-                            lambda operands: low.apply(*operands),
-                            (x, t, cond))
+        return jax.lax.cond(
+            use_high,
+            lambda operands: high.raw_apply(p["high"], *operands),
+            lambda operands: low.raw_apply(p["low"], *operands),
+            (x, t, cond))
 
-    return Denoiser(apply=apply, kind=high.kind, sigma_table=high.sigma_table,
+    return Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                    raw_apply=raw_apply, params=params,
+                    kind=high.kind, sigma_table=high.sigma_table,
                     is_flux=high.is_flux, name=name,
                     latent_channels=high.latent_channels)

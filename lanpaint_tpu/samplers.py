@@ -305,6 +305,78 @@ def _res_multistep_ancestral(model, c, s, sn, i, key):
     return _res_multistep_core(model, c, s, sn, i, key, eta=1.0)
 
 
+@register_solver("seeds_2")
+def _seeds_2(model, c, s, sn, i, key, eta=1.0, r=0.5, s_noise=1.0):
+    """SEEDS-2: 2-stage stochastic exponential derivative-free solver
+    (Gonzalez et al. 2023).  eta=0 reduces to the deterministic 2-stage
+    exponential midpoint method (validated against the closed form)."""
+    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+
+    def step(x):
+        t, tn = _neg_log(s), _neg_log(sn)
+        h = tn - t
+        h_eta = h * (eta + 1.0)
+        s_mid_t = t + r * h
+        sigma_mid = jnp.exp(-s_mid_t)
+        fac = 1.0 / (2.0 * r)
+        coeff_1 = jnp.expm1(-r * h_eta)
+        coeff_2 = jnp.expm1(-h_eta)
+        nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r * h * eta), 0.0))
+        nc_2 = jnp.sqrt(jnp.maximum(
+            jnp.expm1(-2 * r * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
+        n1 = _noise_like(x, jax.random.fold_in(key, 0))
+        n2 = _noise_like(x, jax.random.fold_in(key, 1))
+
+        x_2 = (coeff_1 + 1) * x - coeff_1 * den + sigma_mid * nc_1 * n1 * s_noise
+        den_2, x_2 = model(x_2, sigma_mid, jax.random.fold_in(key, 101))
+        den_d = (1 - fac) * den + fac * den_2
+        x3 = (coeff_2 + 1) * x - coeff_2 * den_d
+        return x3 + sn * (nc_2 * n1 + nc_1 * n2) * s_noise
+
+    x = lax.cond(sn > 0, step, lambda x: den, x)
+    return c._replace(x=x), den
+
+
+@register_solver("seeds_3")
+def _seeds_3(model, c, s, sn, i, key, eta=1.0, r_1=1.0 / 3.0, r_2=2.0 / 3.0,
+             s_noise=1.0):
+    """SEEDS-3: 3-stage stochastic exponential solver."""
+    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+
+    def step(x):
+        t, tn = _neg_log(s), _neg_log(sn)
+        h = tn - t
+        h_eta = h * (eta + 1.0)
+        s1_t, s2_t = t + r_1 * h, t + r_2 * h
+        sig_1, sig_2 = jnp.exp(-s1_t), jnp.exp(-s2_t)
+        coeff_1 = jnp.expm1(-r_1 * h_eta)
+        coeff_2 = jnp.expm1(-r_2 * h_eta)
+        coeff_3 = jnp.expm1(-h_eta)
+        nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r_1 * h * eta), 0.0))
+        nc_2 = jnp.sqrt(jnp.maximum(
+            jnp.expm1(-2 * r_1 * h * eta) - jnp.expm1(-2 * r_2 * h * eta), 0.0))
+        nc_3 = jnp.sqrt(jnp.maximum(
+            jnp.expm1(-2 * r_2 * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
+        n1 = _noise_like(x, jax.random.fold_in(key, 0))
+        n2 = _noise_like(x, jax.random.fold_in(key, 1))
+        n3 = _noise_like(x, jax.random.fold_in(key, 2))
+
+        x_2 = (coeff_1 + 1) * x - coeff_1 * den + sig_1 * nc_1 * n1 * s_noise
+        den_2, x_2 = model(x_2, sig_1, jax.random.fold_in(key, 101))
+
+        x_3 = (coeff_2 + 1) * x - coeff_2 * den \
+            + (r_2 / r_1) * (coeff_2 / (r_2 * h_eta) + 1) * (den_2 - den)
+        x_3 = x_3 + sig_2 * (nc_2 * n1 + nc_1 * n2) * s_noise
+        den_3, x_3 = model(x_3, sig_2, jax.random.fold_in(key, 102))
+
+        x4 = (coeff_3 + 1) * x - coeff_3 * den \
+            + (1.0 / r_2) * (coeff_3 / h_eta + 1) * (den_3 - den)
+        return x4 + sn * (nc_3 * n1 + nc_2 * n2 + nc_1 * n3) * s_noise
+
+    x = lax.cond(sn > 0, step, lambda x: den, x)
+    return c._replace(x=x), den
+
+
 @register_solver("er_sde")
 def _er_sde(model, c, s, sn, i, key):
     """Extended reverse-time SDE solver, order 1 (ER-SDE-Solver-1).
@@ -339,6 +411,161 @@ def _gradient_estimation(model, c, s, sn, i, key, ge_gamma=2.0):
 
 
 # --------------------------------------------------------------------------
+# DEIS: exponential Adams-Bashforth in eps space (Zhang & Chen, DEIS).
+# In VE coords the probability-flow ODE is dx/dsigma = eps(x, sigma), so the
+# AB-k update is x_{n+1} = x_n + sum_j C_j eps_{n-j} with C_j the EXACT
+# integrals of the Lagrange basis over [sigma_n, sigma_{n+1}] — polynomials,
+# integrated analytically on the host from the concrete sigma ladder
+# (prepare_tables), no numerical quadrature.
+
+
+def _deis_coeffs(sigmas: "np_array", max_order: int = 3):
+    import numpy as onp
+
+    sig = onp.asarray(sigmas, onp.float64)
+    n = len(sig) - 1
+    coeffs = onp.zeros((n, max_order), onp.float64)
+    for i in range(n):
+        order = min(i + 1, max_order, n - i)
+        nodes = sig[i - order + 1: i + 1][::-1]  # sigma_i, sigma_{i-1}, ...
+        for j in range(order):
+            # Lagrange basis L_j over `nodes`, integrated sigma_i -> sigma_{i+1}
+            poly = onp.poly1d([1.0])
+            for l in range(order):
+                if l == j:
+                    continue
+                poly *= onp.poly1d([1.0, -nodes[l]]) / (nodes[j] - nodes[l])
+            P = poly.integ()
+            coeffs[i, j] = P(sig[i + 1]) - P(sig[i])
+    return coeffs.astype("float32")
+
+
+@register_solver("deis")
+def _deis(model, c, s, sn, i, key, coeff_row=None):
+    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    eps = _to_d(x, s, den)
+    # history: hist1 = eps_{i-1}, hist2 = eps_{i-2}
+    upd = coeff_row[0] * eps + coeff_row[1] * c.hist1 + coeff_row[2] * c.hist2
+    x = jnp.where(sn > 0, x + upd, den)
+    return c._replace(x=x, hist1=eps, hist2=c.hist1, nhist=c.nhist + 1), den
+
+
+def prepare_tables(sampler: str, sigmas) -> dict:
+    """Host-side per-ladder precomputation (concrete sigmas required)."""
+    if sampler == "deis":
+        return {"deis": jnp.asarray(_deis_coeffs(sigmas))}
+    return {}
+
+
+SAMPLER_NAMES.append("dpm_fast")  # dispatched specially in sample()
+
+
+# --------------------------------------------------------------------------
+# dpm_fast: DPM-Solver fast variant — uniform grid in t = -log sigma, steps
+# grouped into order-3 blocks (scanned; one compiled body with 3 model
+# calls) plus an order-1/2 tail, exactly the k-diffusion grouping.
+
+
+def _dpm_eps(x, sigma, den):
+    return (x - den) / jnp.maximum(sigma, 1e-10)
+
+
+def _dpm1(model, x, t, t_next, key, kidx):
+    sig, sign = jnp.exp(-t), jnp.exp(-t_next)
+    den, x = model(x, sig, jax.random.fold_in(key, kidx))
+    eps = _dpm_eps(x, sig, den)
+    h = t_next - t
+    return x - sign * jnp.expm1(h) * eps, den
+
+
+def _dpm2(model, x, t, t_next, key, kidx, r1=0.5):
+    sig = jnp.exp(-t)
+    den, x = model(x, sig, jax.random.fold_in(key, kidx))
+    eps = _dpm_eps(x, sig, den)
+    h = t_next - t
+    s1 = t + r1 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    den1, u1 = model(u1, jnp.exp(-s1), jax.random.fold_in(key, kidx + 1))
+    eps1 = _dpm_eps(u1, jnp.exp(-s1), den1)
+    x = x - jnp.exp(-t_next) * jnp.expm1(h) * eps \
+        - jnp.exp(-t_next) / (2 * r1) * jnp.expm1(h) * (eps1 - eps)
+    return x, den
+
+
+def _dpm3(model, x, t, t_next, key, kidx, r1=1.0 / 3.0, r2=2.0 / 3.0):
+    sig = jnp.exp(-t)
+    den, x = model(x, sig, jax.random.fold_in(key, kidx))
+    eps = _dpm_eps(x, sig, den)
+    h = t_next - t
+    s1, s2 = t + r1 * h, t + r2 * h
+    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
+    den1, u1 = model(u1, jnp.exp(-s1), jax.random.fold_in(key, kidx + 1))
+    eps1 = _dpm_eps(u1, jnp.exp(-s1), den1)
+    u2 = x - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps \
+        - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps1 - eps)
+    den2, u2 = model(u2, jnp.exp(-s2), jax.random.fold_in(key, kidx + 2))
+    eps2 = _dpm_eps(u2, jnp.exp(-s2), den2)
+    x = x - jnp.exp(-t_next) * jnp.expm1(h) * eps \
+        - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps2 - eps)
+    return x, den
+
+
+def _dpm_fast_orders(m: int):
+    """k-diffusion dpm_solver_fast step grouping for m solver steps."""
+    if m < 3:
+        return [1] * m
+    if m % 3 == 0:
+        return [3] * (m // 3 - 1) + [2, 1]
+    if m % 3 == 1:
+        return [3] * (m // 3) + [1]
+    return [3] * (m // 3) + [2]
+
+
+def _sample_dpm_fast(model, noise_x, sigmas, key, callback):
+    """DPM-Solver-fast: uniform grid in t = -log sigma between the ladder's
+    endpoints, order-3 groups scanned (one compiled 3-call body) + a 1/2
+    order tail, then a final denoise at sigma_min.  Only the grouping is
+    static (depends on len(sigmas)); the grid itself is traced.  Assumes the
+    ladder ends at 0 (the api always appends it)."""
+    n = sigmas.shape[0] - 1
+    m = max(n - 1, 1)
+    orders = _dpm_fast_orders(m)
+    bounds = [0]
+    for o in orders:
+        bounds.append(bounds[-1] + o)
+    sigma_max = sigmas[0]
+    sigma_min = sigmas[-2]
+    t0_, t1_ = -jnp.log(sigma_max), -jnp.log(sigma_min)
+    ts = t0_ + (t1_ - t0_) * jnp.arange(m + 1, dtype=jnp.float32) / m
+
+    x = noise_x
+    dens = []
+    n3 = sum(1 for o in orders if o == 3)
+    if n3:
+        t_pairs = jnp.stack(
+            [jnp.stack([ts[bounds[g]], ts[bounds[g + 1]]]) for g in range(n3)])
+
+        def body(x, it):
+            g, tp = it
+            k = jax.random.fold_in(key, g)
+            x, den = _dpm3(model, x, tp[0], tp[1], k, 100)
+            if callback is not None:
+                jax.debug.callback(callback, g, den, x, ordered=False)
+            return x, den
+
+        x, den3 = lax.scan(body, x, (jnp.arange(n3), t_pairs))
+        dens.append(den3)
+    for gi, o in enumerate([o for o in orders if o != 3]):
+        g = n3 + gi
+        k = jax.random.fold_in(key, g)
+        fn = _dpm2 if o == 2 else _dpm1
+        x, den = fn(model, x, ts[bounds[g]], ts[bounds[g + 1]], k, 100)
+        dens.append(den[None])
+    # final denoise at the ladder floor (sigma -> 0 step)
+    den, x = model(x, sigma_min, jax.random.fold_in(key, 9999))
+    x = den
+    dens.append(den[None])
+    return x, jnp.concatenate(dens, axis=0)
 
 
 def get_solver(name: str):
@@ -358,6 +585,7 @@ def sample(
     sampler: str = "euler",
     key: jax.Array,
     callback=None,
+    tables: dict = None,
 ):
     """Run the full outer sampling loop as one `lax.scan`.
 
@@ -367,7 +595,15 @@ def sample(
     prediction of step i (feeds previews / the custom-sampler
     `denoised_output`, reference nodes.py:543-556).
     """
+    if sampler == "dpm_fast":
+        return _sample_dpm_fast(model, noise_x, sigmas, key, callback)
     step_fn = get_solver(sampler)
+    if sampler == "deis" and (tables is None or "deis" not in tables):
+        if isinstance(sigmas, jax.core.Tracer):
+            raise ValueError(
+                "deis under jit needs host-precomputed coefficients: pass "
+                "tables=prepare_tables('deis', concrete_sigmas)")
+        tables = prepare_tables("deis", sigmas)
     zero = jnp.zeros_like(noise_x)
     carry0 = SolverCarry(
         x=noise_x, hist1=zero, hist2=zero,
@@ -381,7 +617,11 @@ def sample(
         s = sigmas[i]
         sn = sigmas[i + 1]
         k = jax.random.fold_in(key, i)
-        carry, den = step_fn(model, carry, s, sn, i, k)
+        if sampler == "deis":
+            carry, den = step_fn(model, carry, s, sn, i, k,
+                                 coeff_row=tables["deis"][i])
+        else:
+            carry, den = step_fn(model, carry, s, sn, i, k)
         if callback is not None:
             jax.debug.callback(callback, i, den, carry.x, ordered=False)
         return carry, den

@@ -170,25 +170,25 @@ def beta_scheduler(table, n: int, alpha: float = 0.6, beta: float = 0.6) -> np.n
 
 def linear_quadratic(n: int, sigma_max: float, threshold_noise: float = 0.025,
                      linear_steps: Optional[int] = None) -> np.ndarray:
-    """Mochi-style linear-then-quadratic schedule (sigma space [0,1] flow)."""
-    if linear_steps is None:
-        linear_steps = n // 2
+    """Mochi-style linear-then-quadratic schedule (flow sigma space).
+
+    Denoised fraction x(i) rises linearly to `threshold_noise` over the first
+    `linear_steps`, then continues quadratically (C1-continuous) to reach 1
+    at step n; sigmas = (1 - x) * sigma_max, descending to 0.
+    """
     if n == 1:
-        ts = np.array([1.0])
-    else:
-        lin = [i * threshold_noise / linear_steps for i in range(linear_steps)]
-        diff = linear_steps - threshold_noise * n
-        q = max(n - linear_steps, 1)
-        quad = [
-            diff * (i**2) / (q**2) + i * (1 + 2 * diff / q) / q - diff / q
-            for i in range(linear_steps, n)
-        ]
-        # anchor the quadratic segment so it continues from the linear one
-        if quad:
-            offset = (lin[-1] + threshold_noise / linear_steps) - quad[0]
-            quad = [v + offset for v in quad]
-        ts = np.array(lin + quad + [1.0])
-    sig = (1.0 - ts)[::-1].copy() * sigma_max
+        return np.array([float(sigma_max), 0.0])
+    L = n // 2 if linear_steps is None else min(linear_steps, n - 1)
+    th = threshold_noise
+    lin = [i * th / L for i in range(L)]
+    # quadratic q(i) = a i^2 + b i + c with q(L) = th, q'(L) = th/L, q(n) = 1
+    d = n - L
+    a = (1.0 - th - (th / L) * d) / (d * d)
+    b = th / L - 2.0 * a * L
+    c = th - a * L * L - b * L
+    quad = [a * i * i + b * i + c for i in range(L, n)]
+    x = np.array(lin + quad + [1.0])
+    sig = (1.0 - x) * sigma_max
     sig[-1] = 0.0
     return sig
 
