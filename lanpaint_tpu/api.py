@@ -78,6 +78,12 @@ class LanPaintSampler:
         self.disable_cfg1_optimization = disable_cfg1_optimization
         self.denoise_mask_fn = denoise_mask_fn
         self.callback = callback
+        # Pin weights on device ONCE.  Host (numpy) params passed per call
+        # re-upload the full weight tree every invocation — measured 11.2 s
+        # vs 0.156 s per SDXL forward through the TPU tunnel.
+        self._params = (
+            jax.device_put(model.params) if model.params is not None else None
+        )
         self._jit_inpaint = jax.jit(self._run_inpaint)
         self._jit_plain = jax.jit(self._run_plain)
 
@@ -184,7 +190,7 @@ class LanPaintSampler:
         )
 
         tables = samplers.prepare_tables(self.sampler_name, np.asarray(sigmas))
-        params = self.model.params  # traced through jit; None is fine
+        params = self._params  # device-resident; traced through jit
         if mask is None:
             return self._jit_plain(params, x_init, sigmas, cond, uncond,
                                    k_solve, tables)

@@ -305,7 +305,6 @@ def lanpaint_update(
     )
 
     n_steps = jnp.minimum(jnp.asarray(n_steps, jnp.int32), n_max)
-    t_model_native = times.flow_t if kind is ModelKind.FLOW else times.ve_sigma
 
     # The final denoise runs as the loop's LAST iteration (is_final below)
     # instead of as a second model call site after the loop: the whole
