@@ -83,12 +83,21 @@ def pack_branch_coeffs(config, times):
 
 
 def _box_muller(shape):
-    """Two standard normals per element from the TPU PRNG (fp32)."""
-    bits1 = pltpu.prng_random_bits(shape)
-    bits2 = pltpu.prng_random_bits(shape)
-    # uniform in (0, 1]: (bits >> 8) * 2^-24 + 2^-25 keeps us off zero
-    u1 = (bits1 >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
-    u2 = (bits2 >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    """Two standard normals per element from the TPU PRNG (fp32).
+
+    prng_random_bits yields signed int32 on hardware; bitcast to uint32
+    before shifting or the sign bit smears into the uniforms (log of a
+    negative -> NaN).
+    """
+    bits1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    bits2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    # top 24 bits -> [0, 2^24); bitcast the shifted value back to int32
+    # (positive) because Mosaic lacks a uint32 -> f32 cast.
+    i1 = pltpu.bitcast(bits1 >> 8, jnp.int32)
+    i2 = pltpu.bitcast(bits2 >> 8, jnp.int32)
+    # uniform in (0, 1]: the +2^-25 offset keeps u1 off zero
+    u1 = i1.astype(jnp.float32) * (1.0 / (1 << 24)) + (1.0 / (1 << 25))
+    u2 = i2.astype(jnp.float32) * (1.0 / (1 << 24))
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     theta = (2.0 * jnp.pi) * u2
     return r * jnp.cos(theta), r * jnp.sin(theta)
@@ -193,13 +202,22 @@ def _finish_kernel(seed_ref, cx_ref, cy_ref, nm_ref, warm_ref,
     v_out_ref[...] = jnp.where(warm, v_warm, v_cold)
 
 
-def _grid_spec(n_scalar, b, m, n_in, n_out):
-    tile = min(TILE_M, m)
-    block = pl.BlockSpec((1, tile), lambda bb, tt, *_: (bb, tt),
+ROW_TILE = 8  # fp32 sublane count; block = (1, ROW_TILE, 128) = 1024 elements
+
+
+def _grid_spec(n_scalar, b, rows, n_in, n_out):
+    """Grid over (batch, row-tiles) of a (B, rows, 128) view of the latent.
+
+    Mosaic requires the last two block dims to be (8k, 128)-aligned; a flat
+    (1, TILE) block violates the sublane constraint, so the latent is viewed
+    as (B, M//128, 128) and tiled over rows.
+    """
+    r_tile = min(ROW_TILE, rows)
+    block = pl.BlockSpec((1, r_tile, 128), lambda bb, tt, *_: (bb, tt, 0),
                          memory_space=pltpu.VMEM)
     return pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=n_scalar,
-        grid=(b, m // tile),
+        grid=(b, rows // r_tile),
         in_specs=[block] * n_in,
         out_specs=[block] * n_out if n_out > 1 else block,
     )
@@ -216,14 +234,17 @@ def fused_half_step(seed, coef_x, coef_y, noise_mult, x, v, c, mask,
     Returns (x_half, v_half, x_half_overdamped).
     """
     b, m = x.shape
-    out_shape = [jax.ShapeDtypeStruct((b, m), jnp.float32)] * 3
-    return pl.pallas_call(
+    rows = m // 128
+    r3 = lambda a: a.reshape(b, rows, 128)
+    out_shape = [jax.ShapeDtypeStruct((b, rows, 128), jnp.float32)] * 3
+    outs = pl.pallas_call(
         _half_kernel,
-        grid_spec=_grid_spec(4, b, m, 4, 3),
+        grid_spec=_grid_spec(4, b, rows, 4, 3),
         out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), coef_x, coef_y,
-      jnp.asarray([noise_mult], jnp.float32), x, v, c, mask)
+      jnp.asarray([noise_mult], jnp.float32), r3(x), r3(v), r3(c), r3(mask))
+    return tuple(o.reshape(b, m) for o in outs)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -233,12 +254,16 @@ def fused_finish(seed, coef_x, coef_y, noise_mult, warm,
     interpret = pltpu.InterpretParams() if interpret is True else interpret
     """Post-model phase: kick + second half (warm) / full cold step + selects."""
     b, m = x_in.shape
-    out_shape = [jax.ShapeDtypeStruct((b, m), jnp.float32)] * 2
-    return pl.pallas_call(
+    rows = m // 128
+    r3 = lambda a: a.reshape(b, rows, 128)
+    out_shape = [jax.ShapeDtypeStruct((b, rows, 128), jnp.float32)] * 2
+    outs = pl.pallas_call(
         _finish_kernel,
-        grid_spec=_grid_spec(5, b, m, 7, 2),
+        grid_spec=_grid_spec(5, b, rows, 7, 2),
         out_shape=out_shape,
         interpret=interpret,
     )(jnp.asarray([seed], jnp.int32), coef_x, coef_y,
       jnp.asarray([noise_mult], jnp.float32), jnp.asarray([warm], jnp.int32),
-      x_in, x_half, v_half, x_half_od, c_old, c_new, mask)
+      r3(x_in), r3(x_half), r3(v_half), r3(x_half_od), r3(c_old), r3(c_new),
+      r3(mask))
+    return tuple(o.reshape(b, m) for o in outs)
