@@ -16,7 +16,6 @@ per-step think loop, CFG double pass, replace step — no host round-trips.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 from typing import Any, Callable, Optional
 

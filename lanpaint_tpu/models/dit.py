@@ -14,13 +14,12 @@ MXU; attention uses jax.nn.dot_product_attention; bf16 compute / fp32 params;
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from .layers import MLPEmbedder, QKNorm, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+from .layers import MLPEmbedder, QKNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)

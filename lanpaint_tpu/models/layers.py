@@ -10,7 +10,7 @@ the Pallas splash kernel via `attention_impl`.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

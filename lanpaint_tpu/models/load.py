@@ -18,7 +18,6 @@ checkpoints are unavailable in this offline environment).
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Mapping
 
 import jax.numpy as jnp

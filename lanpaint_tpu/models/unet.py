@@ -11,7 +11,7 @@ architecture definitions so safetensors checkpoints map 1:1
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ import dataclasses
 from typing import Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from .layers import MLPEmbedder, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding

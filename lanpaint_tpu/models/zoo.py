@@ -9,8 +9,7 @@ shape-correct testing/benching on TPU without checkpoint access); pass
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +27,7 @@ from .dit import (
     Z_IMAGE_CONFIG,
 )
 from .unet import SD15_CONFIG, SD21_CONFIG, SDXL_CONFIG, TINY_UNET_CONFIG, UNetConfig, UNetModel
-from .wan import TINY_WAN_CONFIG, WAN22_T2V_14B_CONFIG, WAN22_TI2V_5B_CONFIG, WanConfig, WanModel
+from .wan import TINY_WAN_CONFIG, WanConfig, WanModel
 
 
 def _bc(t, ndim):

@@ -23,7 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .stable import exp_1mcosh_GD, sig11, sig22, zeta1, zeta2
+from .stable import sig11, sig22, zeta1, zeta2
 
 CHOL_TOL = 1e-8
 
