@@ -62,6 +62,7 @@ class LanPaintSampler:
         disable_cfg1_optimization: bool = False,
         denoise_mask_fn: Optional[Callable] = None,
         callback: Optional[Callable] = None,
+        pre_cfg_fns: Optional[list] = None,
     ):
         # callback(i, denoised, x) fires per outer step from inside the
         # compiled scan via jax.debug.callback (host round-trip; preview use
@@ -77,6 +78,7 @@ class LanPaintSampler:
         self.disable_cfg1_optimization = disable_cfg1_optimization
         self.denoise_mask_fn = denoise_mask_fn
         self.callback = callback
+        self.pre_cfg_fns = pre_cfg_fns
         # Pin weights on device ONCE.  Host (numpy) params passed per call
         # re-upload the full weight tree every invocation — measured 11.2 s
         # vs 0.156 s per SDXL forward through the TPU tunnel.
@@ -93,7 +95,7 @@ class LanPaintSampler:
         # never baked into the HLO as constants.
         return make_cfg_double_denoiser(
             self.model.bind(params), cond, uncond, self.cfg, self.cfg_big,
-            self.disable_cfg1_optimization,
+            self.disable_cfg1_optimization, self.pre_cfg_fns,
         )
 
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,

@@ -48,6 +48,7 @@ def make_cfg_double_denoiser(
     cfg: float,
     cfg_big: float,
     disable_cfg1_optimization: bool = False,
+    pre_cfg_fns: Optional[list] = None,
 ) -> DoubleDenoiser:
     """Build the (x0, x0_big) double denoiser from a raw model-x0 function.
 
@@ -55,6 +56,12 @@ def make_cfg_double_denoiser(
     skipped and BOTH outputs equal the cond prediction regardless of
     cfg_big — exactly the reference's cfg1 shortcut (nodes.py:86-89, where
     `uncond_ = None` collapses both cfg_function calls to the cond output).
+
+    `pre_cfg_fns` are applied to the raw (cond_pred, uncond_pred) pair before
+    the CFG mixes, mirroring the reference's `sampler_pre_cfg_function` hook
+    chain (nodes.py:94-97).  Each fn receives a dict
+    {"conds_out": [cond_pred, uncond_pred], "cond_scale", "input", "sigma"}
+    and returns the new conds_out list.
     """
     skip_uncond = uncond is None or (
         math.isclose(float(cfg), 1.0) and not disable_cfg1_optimization
@@ -75,6 +82,9 @@ def make_cfg_double_denoiser(
         c2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
         out = model_x0(x2, t2, c2)
         x0_c, x0_u = out[:b], out[b:]
+        for fn in (pre_cfg_fns or []):
+            x0_c, x0_u = fn({"conds_out": [x0_c, x0_u], "cond_scale": cfg,
+                             "input": x, "sigma": t})
         delta = x0_c - x0_u
         return x0_u + delta * cfg, x0_u + delta * cfg_big
 

@@ -76,6 +76,24 @@ def test_cfg_big_policy(mode, cfg, is_flux, want):
     assert resolve_cfg_big(mode, cfg, is_flux) == want
 
 
+def test_pre_cfg_hook_applied():
+    """The pre-CFG hook chain modifies raw predictions before mixing
+    (reference sampler_pre_cfg_function, nodes.py:94-97)."""
+    cond = jnp.full((1, 1), 2.0)
+    uncond = jnp.full((1, 1), 1.0)
+
+    def halve_uncond(args):
+        c, u = args["conds_out"]
+        return c, u * 0.0
+
+    den = make_cfg_double_denoiser(model_x0, cond, uncond, cfg=2.0,
+                                   cfg_big=1.0, pre_cfg_fns=[halve_uncond])
+    x0, x0_big = den(jnp.zeros((1, 2, 4, 4)), jnp.ones((1,)))
+    # u -> 0: x0 = 0 + (2-0)*2 = 4; big = 0 + 2*1 = 2
+    np.testing.assert_allclose(np.asarray(x0), 4.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(x0_big), 2.0, atol=1e-6)
+
+
 def test_unknown_prompt_mode_raises():
     with pytest.raises(ValueError, match="prompt_mode"):
         resolve_cfg_big("whatever", 5.0)
