@@ -59,6 +59,27 @@ Z_IMAGE_CONFIG = DiTConfig(
     hidden=2304, num_heads=18, depth_double=6, depth_single=30,
     context_dim=2560, vec_dim=0, guidance_embed=False,
 )
+# Flux.2-dev (reference example_workflows/Flux.2_dev_*): scaled-up Flux
+# topology; loader mapping shares the Flux key layout.
+FLUX2_DEV_CONFIG = DiTConfig(
+    hidden=5120, num_heads=40, depth_double=8, depth_single=38,
+    context_dim=4096, vec_dim=768, guidance_embed=True,
+)
+# FLUX.1-Krea (reference Krea2 workflows): flux-dev topology, krea finetune.
+KREA_CONFIG = FLUX_DEV_CONFIG
+# SD3.5 / HiDream (reference README.md:131-139 flow-model matrix): served by
+# the generic MMDiT (joint double-stream attention, QK-RMSNorm, AdaLN); the
+# per-family checkpoint key mappings are round-2 work — the *sampler* side
+# (flow schedule, LanPaint math) is family-agnostic and fully covered.
+SD35_LARGE_CONFIG = DiTConfig(
+    hidden=2432, num_heads=38, depth_double=38, depth_single=0,
+    context_dim=4096, vec_dim=2048, guidance_embed=False,
+    axes_dim=(16, 24, 24),
+)
+HIDREAM_CONFIG = DiTConfig(
+    hidden=2560, num_heads=20, depth_double=16, depth_single=32,
+    context_dim=4096, vec_dim=2048, guidance_embed=False,
+)
 TINY_DIT_CONFIG = DiTConfig(
     in_channels=16, out_channels=16, hidden=64, num_heads=4,
     depth_double=2, depth_single=2, context_dim=32, vec_dim=16,

@@ -30,30 +30,49 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
     return emb
 
 
+FLASH_BLOCK = 512
+
+
 def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
     """Multi-head attention on (B, S, H, D) tensors.
 
-    impl: "xla" (jax.nn.dot_product_attention — XLA fuses into flash-style
-    kernels), "flash" (the Pallas TPU flash-attention kernel, the win for
-    long video token sequences, SURVEY.md section 5 long-context), or "auto"
-    (flash on TPU when the shape qualifies: S % 512 == 0, D % 128 == 0,
-    S >= 4096 — e.g. Wan2.2 81-frame latents).
+    impl: "xla" (jax.nn.dot_product_attention; NOTE: materializes the full
+    fp32 S_q x S_kv score matrix — 8.8 GB at Wan video scale, measured OOM),
+    "flash" (the Pallas TPU flash-attention kernel — O(S) memory, the
+    long-video path, SURVEY.md section 5 long-context), or "auto" (flash on
+    TPU for self-attention with S >= 2048 and D % 128 == 0).  Unaligned
+    sequence lengths are zero-padded to the flash block size with
+    segment-id masking, so any S works.
     """
     b, s, h, d = q.shape
+    sk = k.shape[1]
     use_flash = impl == "flash" or (
         impl == "auto"
         and jax.default_backend() == "tpu"
-        and s >= 4096 and s % 512 == 0 and d % 128 == 0
+        and s == sk and s >= 2048 and d % 128 == 0
     )
     if use_flash:
-        from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            SegmentIds,
+            flash_attention,
+        )
 
         scale = (1.0 / math.sqrt(d)) if sm_scale is None else sm_scale
+        pad = (-s) % FLASH_BLOCK
+        seg = None
+        if pad:
+            padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+            q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+            ids = (jnp.arange(s + pad) >= s).astype(jnp.int32)[None]
+            ids = jnp.broadcast_to(ids, (b, s + pad))
+            seg = SegmentIds(q=ids, kv=ids)  # padding isolated in segment 1
         qt = jnp.transpose(q, (0, 2, 1, 3))
         kt = jnp.transpose(k, (0, 2, 1, 3))
         vt = jnp.transpose(v, (0, 2, 1, 3))
-        o = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
-        return jnp.transpose(o, (0, 2, 1, 3))
+        o = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
+                            sm_scale=scale)
+        o = jnp.transpose(o, (0, 2, 1, 3))
+        return o[:, :s] if pad else o
     return jax.nn.dot_product_attention(q, k, v)
 
 
