@@ -35,7 +35,8 @@ def _bc(t, ndim):
     return t.reshape(t.shape[:1] + (1,) * (ndim - 1))
 
 
-def init_params_host(module, *args, seed: int = 0, scale: float = 0.02):
+def init_params_host(module, *args, seed: int = 0, scale: float = 0.02,
+                     force_dtype=None):
     """Random-init parameters on the HOST (numpy), not the device.
 
     `module.init` on the tunneled TPU compiles a huge per-parameter RNG
@@ -55,6 +56,10 @@ def init_params_host(module, *args, seed: int = 0, scale: float = 0.02):
     rng = np.random.default_rng(seed)
 
     def np_dtype(dt):
+        if force_dtype is not None:
+            dt = force_dtype  # e.g. bf16 serving weights for 5B+ models:
+            # emitting fp32 first doubles host RAM (20 GB for Wan-5B) and
+            # can swap-thrash the init for tens of minutes
         return ml_dtypes.bfloat16 if dt == jnp.bfloat16 else np.dtype(dt)
 
     def leaf(path, s):

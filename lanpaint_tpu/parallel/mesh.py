@@ -78,6 +78,54 @@ def seq_sharding(mesh: Mesh, ndim: int, seq_axis: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def shard_params_tp(mesh: Mesh, params, rules):
+    """Megatron-style tensor-parallel weight sharding.
+
+    `rules` is a list of (predicate, PartitionSpec) where predicate takes the
+    joined parameter path string (e.g. "blocks/block/self_attn/q/kernel").
+    First matching rule wins; unmatched leaves are replicated.  XLA SPMD then
+    inserts the psum/all-gather collectives at the row-sharded projections.
+    """
+
+    def leaf(path, p):
+        name = "/".join(
+            k.key if hasattr(k, "key") else str(k) for k in path
+        )
+        for pred, spec in rules:
+            if pred(name):
+                return jax.device_put(p, NamedSharding(mesh, spec))
+        return jax.device_put(p, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def wan_tp_rules():
+    """TP rules for the Wan video DiT: column-shard qkv/ffn-in over the
+    "tensor" axis (head dim), row-shard the output projections (XLA inserts
+    the all-reduce).  Stacked scan weights carry depth as axis 0."""
+    col = P(None, None, "tensor")
+    row = P(None, "tensor", None)
+    return [
+        (lambda n: any(f"{a}/{w}/kernel" in n
+                       for a in ("self_attn", "cross_attn") for w in "qkv"), col),
+        (lambda n: "self_attn/o/kernel" in n or "cross_attn/o/kernel" in n, row),
+        (lambda n: "ffn_0/kernel" in n, col),
+        (lambda n: "ffn_2/kernel" in n, row),
+    ]
+
+
+def dit_tp_rules():
+    """TP rules for the MMDiT family (Flux/Qwen/Z-Image)."""
+    col = P(None, None, "tensor")
+    row = P(None, "tensor", None)
+    return [
+        (lambda n: "attn_qkv/kernel" in n or "linear1/kernel" in n, col),
+        (lambda n: "attn_proj/kernel" in n or "linear2/kernel" in n, row),
+        (lambda n: "mlp_0/kernel" in n, col),
+        (lambda n: "mlp_2/kernel" in n, row),
+    ]
+
+
 def with_data_parallel(sampler_call, mesh: Mesh):
     """Wrap a LanPaintSampler-style callable so its array inputs are
     DP-sharded over the mesh before the compiled program runs.

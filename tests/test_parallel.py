@@ -57,3 +57,24 @@ def test_dp_sharded_inpaint_runs_and_matches_single_device():
     # the result actually carries the DP sharding
     shard_devs = {s.device.id for s in out_sh.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_tensor_parallel_wan_matches_replicated():
+    """TP-sharded Wan weights (Megatron column/row rules) must produce the
+    same output as the replicated run; XLA inserts the collectives."""
+    from lanpaint_tpu.models.zoo import build_tiny_wan
+    from lanpaint_tpu.parallel.mesh import shard_params_tp, wan_tp_rules
+
+    mesh = make_mesh(MeshSpec(data=2, tensor=4))
+    den, params = build_tiny_wan()
+    x = jnp.ones((2, 4, 4, 8, 8), jnp.float32) * 0.3
+    cond = {"context": jnp.zeros((2, 8, 32), jnp.float32)}
+    t = jnp.full((2,), 0.6, jnp.float32)
+
+    want = den.raw_apply(params, x, t, cond)
+
+    params_tp = shard_params_tp(mesh, params, wan_tp_rules())
+    with mesh:
+        got = jax.jit(den.raw_apply)(params_tp, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
