@@ -19,12 +19,17 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache across processes/rounds (the env-var route does
+# not engage on this backend; the explicit config update does)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 BASELINE_SECONDS = 31.5
 STEPS = 20
