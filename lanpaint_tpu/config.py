@@ -50,6 +50,9 @@ class LanPaintConfig:
                                 # last N sigma steps (nodes.py:177-183)
     inner_threshold: float = 0.0  # LanPaint_InnerThreshold; 0 disables
     inner_patience: int = 1       # LanPaint_InnerPatience (>=1)
+    # Legacy 'min_steps' (reference earlystop.py:88-95): folded into a
+    # patience floor, not an independent knob.
+    inner_min_steps: int = 0
     # Optional custom semantic-stop distance: fn(prev_x_t, cur_x_t, ctx) ->
     # scalar (traced).  Static at trace time (reference's pluggable
     # `distance_fn`, earlystop.py:188-236; we support the canonical 3-arg
@@ -77,9 +80,13 @@ class LanPaintConfig:
         """Effective consecutive-stable-step count: patience + 1.
 
         Matches earlystop.py:97-101 ("patience=1 stops after 2 stable
-        steps").
+        steps"); legacy min_steps acts as a patience floor
+        (earlystop.py:88-95).
         """
-        return max(1, self.inner_patience) + 1
+        patience = max(1, self.inner_patience)
+        if self.inner_min_steps > 1:
+            patience = max(patience, self.inner_min_steps - 1)
+        return patience + 1
 
     @property
     def semantic_stop_possible(self) -> bool:

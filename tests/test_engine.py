@@ -135,6 +135,25 @@ def test_semantic_stop_counts_patience(key):
     assert int(aux.steps_done) == 3  # patience_eff = 2 + 1
 
 
+def test_semantic_stop_legacy_min_steps_floor(key):
+    """Legacy `min_steps` maps to a patience floor (reference
+    earlystop.py:88-95): min_steps=4 with patience=1 behaves like
+    patience=3, so the stop fires after 4 stable inner steps."""
+    x = jax.random.normal(key, (1, 4, 8, 8), jnp.float32)
+    latent = jnp.zeros_like(x)
+    mask = jnp.zeros_like(x).at[:, :, :4, :].set(1.0)
+    sigma = jnp.ones((1,), jnp.float32)
+    cfg = LanPaintConfig(
+        n_steps=10, inner_threshold=1e-6, inner_patience=1,
+        inner_min_steps=4, distance_fn=lambda prev, cur, ctx: 0.0,
+    )
+    assert cfg.patience_eff == 4
+    _, _, aux = _run(linear_denoiser, x, latent, mask, sigma, cfg)
+    assert int(aux.steps_done) == 4
+    # min_steps <= 1 is a no-op (reference only applies floors > 1)
+    assert LanPaintConfig(inner_patience=2, inner_min_steps=1).patience_eff == 3
+
+
 def test_semantic_stop_disabled_when_all_known(key):
     """All-known mask disables the semantic stop (inpaint weight ~ 0,
     reference earlystop.py:115-117); loop runs all n_steps."""
