@@ -111,21 +111,53 @@ def _heun(model, c, s, sn, i, key):
 
 
 @register_solver("heunpp2")
-def _heunpp2(model, c, s, sn, i, key):
-    """Heun++ (third-stage refinement when enough steps remain)."""
+def _heunpp2(model, c, s, sn, i, key, ctx=None):
+    """Heun++2: 1/2/3-stage scheme selected by distance to the ladder end.
+
+    Matches the public k-diffusion `sample_heunpp2` (MIT, from
+    sd-webui-samplers-scheduler, vendored by the reference's host): last
+    step is plain Euler, second-to-last is Heun with sigma-ratio weights
+    w2 = sigma_{i+1}/(2 sigma_0), and every earlier step adds a third
+    Euler extrapolation to sigma_{i+2} with weights w_k =
+    sigma_{i+k-1}/(3 sigma_0).  Reference whitelist: nodes.py:292-296.
+    """
+    sigmas = ctx["sigmas"]
+    last = sigmas.shape[0] - 1
+    s_end = sigmas[last]
+    snn = sigmas[jnp.minimum(i + 2, last)]
+    sigma0 = sigmas[0]
     den, x = model(c.x, s, jax.random.fold_in(key, 100))
     d = _to_d(x, s, den)
     dt = sn - s
-    x_eul = x + d * dt
 
-    def second(x_eul):
-        den2, x2 = model(x_eul, sn, jax.random.fold_in(key, 101))
+    def euler(x):
+        return x + d * dt
+
+    def heun(x):
+        x_2 = x + d * dt
+        den2, x2 = model(x_2, sn, jax.random.fold_in(key, 101))
         d2 = _to_d(x2, sn, den2)
-        w2 = 0.5
-        return x + (d * (1 - w2) + d2 * w2) * dt
+        w2 = sn / (2.0 * sigma0)
+        return x + (d * (1.0 - w2) + d2 * w2) * dt
 
-    x = lax.cond(sn > 0, second, lambda xe: xe, x_eul)
+    def heunpp(x):
+        x_2 = x + d * dt
+        den2, x2 = model(x_2, sn, jax.random.fold_in(key, 101))
+        d2 = _to_d(x2, sn, den2)
+        x_3 = x2 + d2 * (snn - sn)
+        den3, x3 = model(x_3, snn, jax.random.fold_in(key, 102))
+        d3 = _to_d(x3, snn, den3)
+        w2 = sn / (3.0 * sigma0)
+        w3 = snn / (3.0 * sigma0)
+        return x + ((1.0 - w2 - w3) * d + w2 * d2 + w3 * d3) * dt
+
+    x = lax.cond(
+        sn == s_end, euler,
+        lambda x: lax.cond(snn == s_end, heun, heunpp, x), x)
     return c._replace(x=x), den
+
+
+_heunpp2.needs_ctx = True
 
 
 @register_solver("dpm_2")
@@ -377,26 +409,54 @@ def _seeds_3(model, c, s, sn, i, key, eta=1.0, r_1=1.0 / 3.0, r_2=2.0 / 3.0,
     return c._replace(x=x), den
 
 
+def _er_psi(sig):
+    """ER-SDE customary noise-scale function psi(s) = s (exp(s^0.3) + 10)."""
+    return sig * (jnp.exp(jnp.maximum(sig, 1e-10) ** 0.3) + 10.0)
+
+
 @register_solver("er_sde")
 def _er_sde(model, c, s, sn, i, key):
-    """Extended reverse-time SDE solver, order 1 (ER-SDE-Solver-1).
+    """Extended reverse-time SDE solver, max order 3 (VE ER-SDE-Solver-3).
 
-    x_{n+1} = r x_n + (1-r) x0_n + sqrt(sn^2 - r^2 s^2) eps with
-    r = psi(sn)/psi(s) and the customary noise-scale function
-    psi(s) = s * (exp(s^0.3) + 10).  Higher-order history corrections are a
-    known gap vs. the reference whitelist (tracked in docs/parity.md).
+    Public algorithm (arXiv 2309.06169; the k-diffusion `sample_er_sde` the
+    reference whitelist names, nodes.py:292-296): stage 1 is
+    x <- r x + (1-r) x0 with r = psi(sn)/psi(s); stages 2/3 add first/second
+    divided-difference corrections of the denoised history, weighted by
+    200-point quadratures of 1/psi and (sigma-s)/psi over [sn, s]; then VE
+    noise sqrt(sn^2 - r^2 s^2) xi.  Branchless: all stages are computed and
+    stage k = min(3, i+1) selected per step (history slots are valid from
+    the steps that fill them, see carry update).
+
+    Carry use: hist1 = previous denoised, hist2 = previous divided
+    difference, h1/h2 = sigma_{i-1}/sigma_{i-2}.
     """
     den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    sn_safe = jnp.maximum(sn, 1e-10)
+    r = _er_psi(sn) / _er_psi(s)
+    x1 = r * x + (1.0 - r) * den
 
-    def step(x):
-        psi = lambda sig: sig * (jnp.exp(sig**0.3) + 10.0)
-        r = psi(sn) / psi(s)
-        x_d = r * x + (1 - r) * den
-        var = jnp.maximum(sn**2 - r**2 * s**2, 0.0)
-        return x_d + _noise_like(x_d, jax.random.fold_in(key, 0)) * jnp.sqrt(var)
+    dt = sn - s
+    npts = 200.0
+    pts = jnp.arange(200, dtype=jnp.float32)
+    step_sz = -dt / npts
+    sigma_pos = sn_safe + pts * step_sz
+    scaled_pos = _er_psi(sigma_pos)
+    # Stage 2: first divided difference of the denoised history.
+    s_int = jnp.sum(1.0 / scaled_pos) * step_sz
+    den_d = (den - c.hist1) / jnp.where(c.nhist >= 1, s - c.h1, 1.0)
+    x2 = x1 + (dt + s_int * _er_psi(sn)) * den_d
+    # Stage 3: second divided difference.
+    s_u = jnp.sum((sigma_pos - s) / scaled_pos) * step_sz
+    den_u = (den_d - c.hist2) / jnp.where(c.nhist >= 2, (s - c.h2) / 2.0, 1.0)
+    x3 = x2 + (dt**2 / 2.0 + s_u * _er_psi(sn)) * den_u
 
-    x = lax.cond(sn > 0, step, lambda x: den, x)
-    return c._replace(x=x), den
+    stage = jnp.minimum(3, i + 1)
+    x_new = jnp.where(stage >= 3, x3, jnp.where(stage >= 2, x2, x1))
+    noise_amt = jnp.sqrt(jnp.maximum(sn**2 - s**2 * r**2, 0.0))
+    x_new = x_new + _noise_like(x_new, jax.random.fold_in(key, 0)) * noise_amt
+    x_out = jnp.where(sn > 0, x_new, den)
+    return c._replace(x=x_out, hist1=den, hist2=den_d, h1=s, h2=c.h1,
+                      nhist=c.nhist + 1), den
 
 
 @register_solver("gradient_estimation")
@@ -620,6 +680,9 @@ def sample(
         if sampler == "deis":
             carry, den = step_fn(model, carry, s, sn, i, k,
                                  coeff_row=tables["deis"][i])
+        elif getattr(step_fn, "needs_ctx", False):
+            carry, den = step_fn(model, carry, s, sn, i, k,
+                                 ctx={"sigmas": sigmas})
         else:
             carry, den = step_fn(model, carry, s, sn, i, k)
         if callback is not None:

@@ -26,7 +26,10 @@ SIGMA_MAX = 10.0
 ODE_SOLVERS = {
     "euler": 0.05,
     "heun": 0.01,
-    "heunpp2": 0.02,
+    # heunpp2's public sigma-ratio weights (w_k = sigma/k*sigma0) put it
+    # between Euler and Heun in accuracy on this ladder; exactness is
+    # checked by the replay test below.
+    "heunpp2": 0.05,
     "dpm_2": 0.01,
     "dpmpp_2m": 0.01,
     "res_multistep": 0.02,
@@ -116,6 +119,90 @@ def test_solver_uses_refined_x(key):
                              key=jax.random.PRNGKey(0))
     # euler: x = x_new + (x_new - 0)/1 * (0 - 1) = 7 - 7 = 0
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def _np_model(x, sigma):
+    return x / (1.0 + sigma**2)
+
+
+def test_heunpp2_matches_public_algorithm_replay(key):
+    """Independent numpy replay of k-diffusion sample_heunpp2 (the
+    1/2/3-stage branches with sigma-ratio weights) must match the scanned
+    solver exactly (deterministic method)."""
+    x0 = np.asarray(jax.random.normal(key, (1, 2, 6, 6), jnp.float32)) * SIGMA_MAX
+    sig = np.asarray(karras(12, 0.03, SIGMA_MAX), np.float32)
+
+    x = x0.copy()
+    s_end = sig[-1]
+    for i in range(len(sig) - 1):
+        den = _np_model(x, sig[i])
+        d = (x - den) / sig[i]
+        dt = sig[i + 1] - sig[i]
+        if sig[i + 1] == s_end:
+            x = x + d * dt
+        elif sig[i + 2] == s_end:
+            x_2 = x + d * dt
+            d_2 = (x_2 - _np_model(x_2, sig[i + 1])) / sig[i + 1]
+            w2 = sig[i + 1] / (2 * sig[0])
+            x = x + (d * (1 - w2) + d_2 * w2) * dt
+        else:
+            x_2 = x + d * dt
+            d_2 = (x_2 - _np_model(x_2, sig[i + 1])) / sig[i + 1]
+            x_3 = x_2 + d_2 * (sig[i + 2] - sig[i + 1])
+            d_3 = (x_3 - _np_model(x_3, sig[i + 2])) / sig[i + 2]
+            w2 = sig[i + 1] / (3 * sig[0])
+            w3 = sig[i + 2] / (3 * sig[0])
+            x = x + ((1 - w2 - w3) * d + w2 * d_2 + w3 * d_3) * dt
+
+    out, _ = samplers.sample(model, jnp.asarray(x0), jnp.asarray(sig),
+                             sampler="heunpp2", key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), x, rtol=2e-4, atol=1e-5)
+
+
+def test_er_sde_drift_matches_public_algorithm_replay(key, monkeypatch):
+    """Independent numpy replay of k-diffusion sample_er_sde (VE
+    ER-SDE-Solver-3: stage selection min(3, i+1), 200-point quadratures,
+    divided-difference history) must match the scanned solver with the
+    noise injection stripped (s_noise = 0 equivalent)."""
+    monkeypatch.setattr(samplers, "_noise_like",
+                        lambda x, key: jnp.zeros_like(x))
+    x0 = np.asarray(jax.random.normal(key, (1, 2, 6, 6), jnp.float32)) * SIGMA_MAX
+    sig = np.asarray(karras(10, 0.03, SIGMA_MAX), np.float64)
+
+    def psi(s):
+        s = np.asarray(s, np.float64)
+        return s * (np.exp(np.maximum(s, 1e-10) ** 0.3) + 10.0)
+
+    x = x0.astype(np.float64)
+    old_den, old_den_d = None, None
+    pts = np.arange(200, dtype=np.float64)
+    for i in range(len(sig) - 1):
+        den = _np_model(x, sig[i])
+        stage = min(3, i + 1)
+        if sig[i + 1] == 0:
+            x = den
+        else:
+            r = psi(sig[i + 1]) / psi(sig[i])
+            x = r * x + (1 - r) * den
+            if stage >= 2:
+                dt = sig[i + 1] - sig[i]
+                step_sz = -dt / 200.0
+                sigma_pos = sig[i + 1] + pts * step_sz
+                scaled_pos = psi(sigma_pos)
+                s_int = np.sum(1.0 / scaled_pos) * step_sz
+                den_d = (den - old_den) / (sig[i] - sig[i - 1])
+                x = x + (dt + s_int * psi(sig[i + 1])) * den_d
+                if stage >= 3:
+                    s_u = np.sum((sigma_pos - sig[i]) / scaled_pos) * step_sz
+                    den_u = (den_d - old_den_d) / ((sig[i] - sig[i - 2]) / 2)
+                    x = x + (dt**2 / 2 + s_u * psi(sig[i + 1])) * den_u
+                old_den_d = den_d
+        old_den = den
+
+    out, _ = samplers.sample(model, jnp.asarray(x0),
+                             jnp.asarray(sig, jnp.float32),
+                             sampler="er_sde", key=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), x, rtol=5e-4, atol=5e-4)
 
 
 def test_unknown_sampler_raises():
