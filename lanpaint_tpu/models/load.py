@@ -315,6 +315,62 @@ def _wan_entries(cfg):
     return e
 
 
+def _sd3_entries(cfg):
+    """SD3/SD3.5 MMDiT public checkpoint layout (`model.diffusion_model.`):
+    x_embedder/pos_embed/t_embedder/y_embedder/context_embedder +
+    joint_blocks.{i}.{context_block,x_block}.* with the last context_block
+    pre-only, and (MMDiT-X) attn2 on the dual-attention prefix."""
+    e = [
+        ("x_embedder.proj", ("x_embedder",), "conv", None),
+        ("pos_embed", ("pos_embed",), "raw", None),
+        ("t_embedder.mlp.0", ("t_embedder", "in_layer"), "linear", None),
+        ("t_embedder.mlp.2", ("t_embedder", "out_layer"), "linear", None),
+        ("context_embedder", ("context_embedder",), "linear", None),
+        ("final_layer.adaLN_modulation.1",
+         ("final_layer", "adaLN_modulation"), "linear", None),
+        ("final_layer.linear", ("final_layer", "linear"), "linear", None),
+    ]
+    if cfg.vec_dim > 0:
+        e += [("y_embedder.mlp.0", ("y_embedder", "in_layer"), "linear", None),
+              ("y_embedder.mlp.2", ("y_embedder", "out_layer"), "linear", None)]
+
+    def attn(ckpt, flax, proj_name, st, with_proj=True):
+        out = [(f"{ckpt}.qkv", flax + ("qkv",), "linear", st)]
+        if cfg.qk_norm:
+            out += [(f"{ckpt}.ln_q", flax + ("ln_q",), "rms", st),
+                    (f"{ckpt}.ln_k", flax + ("ln_k",), "rms", st)]
+        if with_proj:
+            out.append((f"{ckpt}.proj", flax[:-1] + (proj_name,), "linear", st))
+        return out
+
+    def block(i, base, st, dual):
+        b = f"joint_blocks.{i}"
+        out = []
+        for stream in ("context_block", "x_block"):
+            s = base + (stream,)
+            pre_only = (st is None and stream == "context_block")
+            out.append((f"{b}.{stream}.adaLN_modulation.1",
+                        s + ("adaLN_modulation",), "linear", st))
+            out += attn(f"{b}.{stream}.attn", s + ("attn",), "attn_proj", st,
+                        with_proj=not pre_only)
+            if not pre_only:
+                out += [(f"{b}.{stream}.mlp.fc1", s + ("mlp_fc1",), "linear", st),
+                        (f"{b}.{stream}.mlp.fc2", s + ("mlp_fc2",), "linear", st)]
+            if dual and stream == "x_block":
+                out += attn(f"{b}.{stream}.attn2", s + ("attn2",),
+                            "attn2_proj", st)
+        return out
+
+    n_dual = len(cfg.dual_attn_layers)
+    n_plain = cfg.depth - 1 - n_dual
+    for i in range(n_dual):
+        e += block(i, ("joint_dual", "block"), (i, n_dual), dual=True)
+    for i in range(n_plain):
+        e += block(n_dual + i, ("joint", "block"), (i, n_plain), dual=False)
+    e += block(cfg.depth - 1, ("joint_last",), None, dual=False)
+    return e
+
+
 # --------------------------------------------------------------------------
 # generic import / export over an entry table
 
@@ -367,6 +423,21 @@ def import_dit(state, cfg, prefix: str = "") -> dict:
 
 def export_dit(params, cfg, prefix: str = "") -> dict:
     return _export(params, _dit_entries(cfg), prefix)
+
+
+def import_sd3(state, cfg, prefix: str = "model.diffusion_model.") -> dict:
+    # SD3.5 stores the per-head RMS qk-norm scales as '.ln_q/.ln_k.weight'
+    state = {k.replace(".ln_q.weight", ".ln_q.scale")
+              .replace(".ln_k.weight", ".ln_k.scale"): v
+             for k, v in state.items()}
+    return _import(state, _sd3_entries(cfg), prefix)
+
+
+def export_sd3(params, cfg, prefix: str = "model.diffusion_model.") -> dict:
+    out = _export(params, _sd3_entries(cfg), prefix)
+    return {k.replace(".ln_q.scale", ".ln_q.weight")
+             .replace(".ln_k.scale", ".ln_k.weight"): v
+            for k, v in out.items()}
 
 
 def import_wan(state, cfg, prefix: str = "") -> dict:

@@ -26,6 +26,15 @@ from .dit import (
     TINY_DIT_CONFIG,
     Z_IMAGE_CONFIG,
 )
+from .sd3 import (
+    SD3_MEDIUM_CONFIG,
+    SD35_LARGE_CONFIG,
+    SD35_LARGE_TURBO_CONFIG,
+    SD35_MEDIUM_CONFIG,
+    SD3Config,
+    SD3MMDiT,
+    TINY_SD3_CONFIG,
+)
 from .unet import SD15_CONFIG, SD21_CONFIG, SDXL_CONFIG, TINY_UNET_CONFIG, UNetConfig, UNetModel
 from .wan import TINY_WAN_CONFIG, WanConfig, WanModel
 
@@ -202,6 +211,63 @@ def build_z_image(params=None, **kw):
 
 def build_tiny_dit(params=None, **kw):
     return build_dit(TINY_DIT_CONFIG, params, is_flux=False, name="tiny-dit", **kw)
+
+
+# --------------------------------------------------------------------------
+# SD3 / SD3.5 rectified-flow MMDiT
+
+
+def build_sd3(
+    config: SD3Config,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 3.0,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "sd3",
+):
+    module = SD3MMDiT(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.in_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        vec = jnp.zeros((b, config.vec_dim), jnp.float32)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, vec,
+                                  seed=seed)
+
+    def raw_apply(p, x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vec = cond.get("vec") if isinstance(cond, dict) else None
+        vel = module.apply(p, x, t, ctx, vec)
+        return x - tb * vel
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), is_flux=False,
+                   name=name, latent_channels=config.in_channels)
+    return den, params
+
+
+def build_sd35_large(params=None, **kw):
+    return build_sd3(SD35_LARGE_CONFIG, params, name="sd3.5-large", **kw)
+
+
+def build_sd35_large_turbo(params=None, **kw):
+    return build_sd3(SD35_LARGE_TURBO_CONFIG, params,
+                     name="sd3.5-large-turbo", **kw)
+
+
+def build_sd35_medium(params=None, **kw):
+    return build_sd3(SD35_MEDIUM_CONFIG, params, name="sd3.5-medium", **kw)
+
+
+def build_sd3_medium(params=None, **kw):
+    return build_sd3(SD3_MEDIUM_CONFIG, params, name="sd3-medium", **kw)
+
+
+def build_tiny_sd3(params=None, **kw):
+    return build_sd3(TINY_SD3_CONFIG, params, name="tiny-sd3", **kw)
 
 
 # --------------------------------------------------------------------------

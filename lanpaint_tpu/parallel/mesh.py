@@ -126,6 +126,30 @@ def dit_tp_rules():
     ]
 
 
+def sd3_tp_rules():
+    """TP rules for the SD3/SD3.5 MMDiT: column-shard qkv/mlp-in, row-shard
+    the output projections.  Scanned joint blocks carry depth as axis 0;
+    the unstacked final joint block gets the 2-D specs."""
+    col3, row3 = P(None, None, "tensor"), P(None, "tensor", None)
+    col2, row2 = P(None, "tensor"), P("tensor", None)
+
+    def scanned(n):
+        return "/block/" in n
+
+    return [
+        (lambda n: scanned(n) and ("attn/qkv/kernel" in n
+                                   or "attn2/qkv/kernel" in n
+                                   or "mlp_fc1/kernel" in n), col3),
+        (lambda n: scanned(n) and ("attn_proj/kernel" in n
+                                   or "attn2_proj/kernel" in n
+                                   or "mlp_fc2/kernel" in n), row3),
+        (lambda n: "joint_last" in n and ("attn/qkv/kernel" in n
+                                          or "mlp_fc1/kernel" in n), col2),
+        (lambda n: "joint_last" in n and ("attn_proj/kernel" in n
+                                          or "mlp_fc2/kernel" in n), row2),
+    ]
+
+
 def with_data_parallel(sampler_call, mesh: Mesh):
     """Wrap a LanPaintSampler-style callable so its array inputs are
     DP-sharded over the mesh before the compiled program runs.

@@ -83,6 +83,58 @@ def test_dit_roundtrip_exact():
     _tree_eq(params["params"], back["params"])
 
 
+def test_sd3_roundtrip_exact():
+    from lanpaint_tpu.models.sd3 import TINY_SD3_CONFIG, SD3MMDiT
+
+    cfg = TINY_SD3_CONFIG
+    module = SD3MMDiT(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.in_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.context_dim)),
+                         jnp.zeros((1, cfg.vec_dim)))
+    state = L.export_sd3(params, cfg)
+    # public SD3.5 key layout spot checks
+    for want in [
+        "model.diffusion_model.x_embedder.proj.weight",
+        "model.diffusion_model.pos_embed",
+        "model.diffusion_model.t_embedder.mlp.0.weight",
+        "model.diffusion_model.y_embedder.mlp.2.bias",
+        "model.diffusion_model.context_embedder.weight",
+        "model.diffusion_model.joint_blocks.0.x_block.attn.qkv.weight",
+        "model.diffusion_model.joint_blocks.0.x_block.attn.ln_q.weight",
+        "model.diffusion_model.joint_blocks.0.x_block.attn2.proj.bias",
+        "model.diffusion_model.joint_blocks.1.context_block.mlp.fc1.weight",
+        "model.diffusion_model.joint_blocks.3.context_block.adaLN_modulation.1.weight",
+        "model.diffusion_model.final_layer.linear.weight",
+    ]:
+        assert want in state, want
+    # the pre-only last context block must NOT emit proj/mlp tensors
+    assert ("model.diffusion_model.joint_blocks.3.context_block.attn.proj.weight"
+            not in state)
+    # conv patch embed keeps torch OIHW layout on export
+    assert state["model.diffusion_model.x_embedder.proj.weight"].shape == (
+        cfg.hidden, cfg.in_channels, cfg.patch, cfg.patch)
+    back = L.import_sd3(state, cfg)
+    _tree_eq(params["params"], back["params"])
+
+
+def test_sd3_roundtrip_functional():
+    from lanpaint_tpu.models.sd3 import TINY_SD3_CONFIG, SD3MMDiT
+
+    cfg = TINY_SD3_CONFIG
+    module = SD3MMDiT(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, cfg.in_channels, 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.context_dim))
+    vec = jax.random.normal(jax.random.PRNGKey(3), (1, cfg.vec_dim))
+    t = jnp.full((1,), 0.5)
+    params = module.init(jax.random.PRNGKey(0), x, t, ctx, vec)
+    back = L.import_sd3(L.export_sd3(params, cfg), cfg)
+    y0 = module.apply(params, x, t, ctx, vec)
+    y1 = module.apply(back, x, t, ctx, vec)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
 def test_wan_roundtrip_exact():
     cfg = TINY_WAN_CONFIG
     module = WanModel(cfg)

@@ -147,6 +147,44 @@ def test_dit_end_to_end_inpaint(tiny_dit, key):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_sd3_end_to_end_inpaint(key):
+    """SD3.5-family MMDiT (dual-attn prefix + pre-only last context block)
+    through the full inpaint pipeline."""
+    from lanpaint_tpu.models.zoo import build_tiny_sd3
+
+    den, _ = build_tiny_sd3()
+    latent = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[8:, :] = 1.0
+    cond = {"context": jnp.zeros((1, 8, 32), jnp.float32),
+            "vec": jnp.zeros((1, 16), jnp.float32)}
+    out = ksampler(den, seed=0, steps=4, cfg=1.0, sampler_name="euler",
+                   scheduler="simple", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_sd3_pos_embed_centered_crop(key):
+    """The learned pos-embed is center-cropped per resolution (public MMDiT
+    cropped_pos_embed): two resolutions must read overlapping center rows."""
+    from lanpaint_tpu.models.sd3 import TINY_SD3_CONFIG, SD3MMDiT
+
+    cfg = TINY_SD3_CONFIG
+    module = SD3MMDiT(cfg)
+    ctx = jnp.zeros((1, 8, cfg.context_dim))
+    vec = jnp.zeros((1, cfg.vec_dim))
+    t = jnp.full((1,), 0.5)
+    x16 = jnp.zeros((1, cfg.in_channels, 16, 16))
+    params = module.init(jax.random.PRNGKey(0), x16, t, ctx, vec)
+    # both resolutions must run off the same (max-size) pos_embed table
+    for hw in (16, 24, 32):
+        out = module.apply(params, jnp.zeros((1, cfg.in_channels, hw, hw)),
+                           t, ctx, vec)
+        assert out.shape == (1, cfg.in_channels, hw, hw)
+        assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_wan_end_to_end_video_inpaint(tiny_wan, key):
     """5D video latent + frame-stack mask through the full pipeline
     (reference video path, nodes.py:113-114, 40-71)."""
