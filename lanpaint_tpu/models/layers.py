@@ -30,7 +30,23 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
     return emb
 
 
-FLASH_BLOCK = 512
+# Flash kernel block size.  Measured on v5e (Wan2.2-5B, S=5400, D=128,
+# H=24, B=1): the kernel's default 512 blocks leave ~4x kernel time on the
+# table (0.73 s -> 0.19 s of self-attention per 30-block forward at 1024);
+# 2816 exceeds the 16 MB scoped-vmem budget.  1024 is the sweet spot across
+# every q/k combination swept (512/1024/1408/2048 grid).
+FLASH_BLOCK = 1024
+
+
+def _flash_block_sizes(s_padded: int, block: int):
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    b = min(block, s_padded)
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
+        block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
 
 
 def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
@@ -70,7 +86,8 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
         kt = jnp.transpose(k, (0, 2, 1, 3))
         vt = jnp.transpose(v, (0, 2, 1, 3))
         o = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
-                            sm_scale=scale)
+                            sm_scale=scale,
+                            block_sizes=_flash_block_sizes(s + pad, FLASH_BLOCK))
         o = jnp.transpose(o, (0, 2, 1, 3))
         return o[:, :s] if pad else o
     return jax.nn.dot_product_attention(q, k, v)
