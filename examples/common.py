@@ -10,6 +10,19 @@ the full pipeline is exercised end-to-end on any machine.
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+# allow `python examples/<name>.py` from anywhere (the package lives at the
+# repo root, one level up from this file)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# honor JAX_PLATFORMS even where site config pre-selects a platform (the
+# env var alone does not win against sitecustomize on some machines)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np

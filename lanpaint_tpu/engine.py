@@ -197,6 +197,7 @@ def lanpaint_update(
     config: LanPaintConfig,
     kind: ModelKind,
     key: jax.Array,
+    noise_feed: jnp.ndarray = None,
 ):
     """One outer-denoising-step LanPaint update (think loop + final denoise).
 
@@ -208,6 +209,14 @@ def lanpaint_update(
     Langevin-refined sampler-native latent the outer solver must continue
     from (replacing the reference's in-place `input_x.copy_`,
     lanpaint.py:122), and device-side diagnostics.
+
+    `noise_feed` (parity/replay mode): (n_max, 5, *x.shape) standard-normal
+    draws consumed instead of the PRNG, in the documented order
+    (docs/rng.md: eps_y1, eps_v1, eps_y2, eps_v2, v_stat per inner step).
+    Record the reference's torch draws and feed them here for seed-for-seed
+    comparison (SURVEY section 7 "hard parts": torch global RNG makes direct
+    seed parity impossible; replay is the sanctioned mechanism).  Forces the
+    jnp (non-fused) path.
     """
     in_dtype = x.dtype
     ndim = x.ndim
@@ -237,8 +246,10 @@ def lanpaint_update(
     lamb = config.lamb
 
     # Fused Pallas path (TPU only): pointwise update phases run as two kernels
-    # with in-kernel PRNG; coefficient tables prefetched to SMEM.
-    use_fused = config.use_fused_kernels and jax.default_backend() == "tpu"
+    # with in-kernel PRNG; coefficient tables prefetched to SMEM.  Replay
+    # mode needs the explicit draws, so it takes the jnp path.
+    use_fused = (config.use_fused_kernels and noise_feed is None
+                 and jax.default_backend() == "tpu")
     if use_fused:
         from .ops import fused as _fused
 
@@ -328,16 +339,24 @@ def lanpaint_update(
                 seed_base + 2 * i, coef_x, coef_y, 1.0, x2, v2, c2, mask2)
             xh = _from2d(xh2)
         else:
-            k_i = jax.random.fold_in(k_loop, i)
-            k_y1, k_v1, k_y2, k_v2, k_v0 = jax.random.split(k_i, 5)
             shape = carry.x_t.shape
-            eps_y1 = jax.random.normal(k_y1, shape, jnp.float32)
-            eps_v1 = jax.random.normal(k_v1, shape, jnp.float32)
-            eps_y2 = jax.random.normal(k_y2, shape, jnp.float32)
-            eps_v2 = jax.random.normal(k_v2, shape, jnp.float32)
+            if noise_feed is not None:
+                feed = jax.lax.dynamic_index_in_dim(
+                    noise_feed.astype(jnp.float32),
+                    jnp.minimum(i, noise_feed.shape[0] - 1), keepdims=False)
+                eps_y1, eps_v1, eps_y2, eps_v2, eps_v0 = (
+                    feed[j] for j in range(5))
+            else:
+                k_i = jax.random.fold_in(k_loop, i)
+                k_y1, k_v1, k_y2, k_v2, k_v0 = jax.random.split(k_i, 5)
+                eps_y1 = jax.random.normal(k_y1, shape, jnp.float32)
+                eps_v1 = jax.random.normal(k_v1, shape, jnp.float32)
+                eps_y2 = jax.random.normal(k_y2, shape, jnp.float32)
+                eps_v2 = jax.random.normal(k_v2, shape, jnp.float32)
+                eps_v0 = jax.random.normal(k_v0, shape, jnp.float32)
             # Stationary velocity ~ N(0, D^2/2) (reference utils.py:253-254);
             # used for the cold start and as the fallback v where damped NaN'd.
-            v_stat = jax.random.normal(k_v0, shape, jnp.float32) * params.d / jnp.sqrt(2.0)
+            v_stat = eps_v0 * params.d / jnp.sqrt(2.0)
 
             # -- warm path: half-step (old C) -> model -> kick -> half-step
             xh_d, vh_d = sho_apply(params.sho_half, x_t_in, v_in, params.a, c_old, eps_y1, eps_v1)

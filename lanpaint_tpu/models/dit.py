@@ -67,6 +67,14 @@ FLUX2_DEV_CONFIG = DiTConfig(
 )
 # FLUX.1-Krea (reference Krea2 workflows): flux-dev topology, krea finetune.
 KREA_CONFIG = FLUX_DEV_CONFIG
+# HunyuanImage (reference example_workflows/Hunyuan_Inpaint.json): flux-style
+# double+single-stream flow MMDiT; config dims per the public release, key
+# layout via the shared double_blocks/single_blocks mapping.  Exact-key
+# fidelity is offline-unverifiable (docs/parity.md).
+HUNYUAN_IMAGE_CONFIG = DiTConfig(
+    hidden=3584, num_heads=28, depth_double=20, depth_single=40,
+    context_dim=3584, vec_dim=0, guidance_embed=True,
+)
 # SD3.5 / HiDream (reference README.md:131-139 flow-model matrix): served by
 # the generic MMDiT (joint double-stream attention, QK-RMSNorm, AdaLN); the
 # per-family checkpoint key mappings are round-2 work — the *sampler* side

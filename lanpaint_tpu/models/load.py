@@ -371,6 +371,68 @@ def _sd3_entries(cfg):
     return e
 
 
+def _hidream_entries(cfg):
+    """HiDream-I1 MoE-MMDiT layout: double_stream_blocks / single_stream_blocks
+    with SwiGLU MoE FFs (shared expert + stacked routed experts + gate).
+    Real-checkpoint fidelity is offline-unverifiable; this table is bijective
+    for our module tree (roundtrip-tested) with public-style key names."""
+    e = [
+        ("img_in", ("img_in",), "linear", None),
+        ("txt_in", ("txt_in",), "linear", None),
+        ("time_in.in_layer", ("time_in", "in_layer"), "linear", None),
+        ("time_in.out_layer", ("time_in", "out_layer"), "linear", None),
+        ("final_layer.adaLN_modulation.1", ("final_mod",), "linear", None),
+        ("final_layer.linear", ("final_linear",), "linear", None),
+    ]
+    if cfg.vec_dim > 0:
+        e += [("vector_in.in_layer", ("vector_in", "in_layer"), "linear", None),
+              ("vector_in.out_layer", ("vector_in", "out_layer"), "linear", None)]
+
+    def swiglu(ckpt, flax, st):
+        return [(f"{ckpt}.w{j}", flax + (f"w{j}",), "linear_nb", st)
+                for j in (1, 2, 3)]
+
+    def moe(ckpt, flax, st):
+        out = swiglu(f"{ckpt}.shared_experts", flax + ("shared",), st)
+        out.append((f"{ckpt}.gate", flax + ("gate",), "linear_nb", st))
+        # routed experts ride as stacked (E, in, out) tensors
+        out += [(f"{ckpt}.experts_w{j}", flax + (f"experts_w{j}",), "raw", st)
+                for j in (1, 2, 3)]
+        return out
+
+    def qkv(ckpt, flax, prefix, st):
+        out = [(f"{ckpt}.to_{w}", flax + (f"{prefix}_{w}",), "linear", st)
+               for w in "qkv"]
+        out += [(f"{ckpt}.q_rms_norm", flax + (f"{prefix}_qknorm", "query_norm"),
+                 "rms", st),
+                (f"{ckpt}.k_rms_norm", flax + (f"{prefix}_qknorm", "key_norm"),
+                 "rms", st),
+                (f"{ckpt}.to_out", flax + (f"{prefix}_proj",), "linear", st)]
+        return out
+
+    for i in range(cfg.depth_double):
+        b = f"double_stream_blocks.{i}"
+        p = ("double", "block")
+        st = (i, cfg.depth_double)
+        e += [
+            (f"{b}.adaLN_modulation_img.1", p + ("img_mod", "lin"), "linear", st),
+            (f"{b}.adaLN_modulation_txt.1", p + ("txt_mod", "lin"), "linear", st),
+            (f"{b}.llama_proj", p + ("llama_proj",), "linear", st),
+        ]
+        e += qkv(f"{b}.attn_img", p, "img_attn", st)
+        e += qkv(f"{b}.attn_txt", p, "txt_attn", st)
+        e += moe(f"{b}.ff_img", p + ("img_moe",), st)
+        e += swiglu(f"{b}.ff_txt", p + ("txt_ff",), st)
+    for i in range(cfg.depth_single):
+        b = f"single_stream_blocks.{i}"
+        p = ("single", "block")
+        st = (i, cfg.depth_single)
+        e.append((f"{b}.adaLN_modulation.1", p + ("mod", "lin"), "linear", st))
+        e += qkv(f"{b}.attn", p, "attn", st)
+        e += moe(f"{b}.ff", p + ("moe",), st)
+    return e
+
+
 # --------------------------------------------------------------------------
 # generic import / export over an entry table
 
@@ -423,6 +485,14 @@ def import_dit(state, cfg, prefix: str = "") -> dict:
 
 def export_dit(params, cfg, prefix: str = "") -> dict:
     return _export(params, _dit_entries(cfg), prefix)
+
+
+def import_hidream(state, cfg, prefix: str = "") -> dict:
+    return _import(state, _hidream_entries(cfg), prefix)
+
+
+def export_hidream(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _hidream_entries(cfg), prefix)
 
 
 def import_sd3(state, cfg, prefix: str = "model.diffusion_model.") -> dict:

@@ -209,8 +209,69 @@ def build_z_image(params=None, **kw):
                      name="z-image", **kw)
 
 
+def build_hunyuan_image(params=None, **kw):
+    from .dit import HUNYUAN_IMAGE_CONFIG
+
+    return build_dit(HUNYUAN_IMAGE_CONFIG, params, shift=4.0, is_flux=False,
+                     name="hunyuan-image", **kw)
+
+
+def build_flux2_dev(params=None, **kw):
+    from .dit import FLUX2_DEV_CONFIG
+
+    return build_dit(FLUX2_DEV_CONFIG, params, shift=1.15, is_flux=True,
+                     name="flux2-dev", **kw)
+
+
 def build_tiny_dit(params=None, **kw):
     return build_dit(TINY_DIT_CONFIG, params, is_flux=False, name="tiny-dit", **kw)
+
+
+# --------------------------------------------------------------------------
+# HiDream-I1 MoE-MMDiT
+
+
+def build_hidream(
+    config=None,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 3.0,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "hidream",
+):
+    from .hidream import HIDREAM_I1_CONFIG, HiDreamModel
+
+    config = HIDREAM_I1_CONFIG if config is None else config
+    module = HiDreamModel(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.latent_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        vec = jnp.zeros((b, config.vec_dim), jnp.float32)
+        llama = jnp.zeros((2, b, 4, config.llama_dim), jnp.float32)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, vec,
+                                  llama, seed=seed)
+
+    def raw_apply(p, x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vec = cond.get("vec") if isinstance(cond, dict) else None
+        llama = cond.get("llama") if isinstance(cond, dict) else None
+        vel = module.apply(p, x, t, ctx, vec, llama)
+        return x - tb * vel
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), is_flux=False,
+                   name=name, latent_channels=config.latent_channels)
+    return den, params
+
+
+def build_tiny_hidream(params=None, **kw):
+    from .hidream import TINY_HIDREAM_CONFIG
+
+    return build_hidream(TINY_HIDREAM_CONFIG, params, name="tiny-hidream", **kw)
 
 
 # --------------------------------------------------------------------------

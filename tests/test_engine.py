@@ -154,6 +154,47 @@ def test_semantic_stop_legacy_min_steps_floor(key):
     assert LanPaintConfig(inner_patience=2, inner_min_steps=1).patience_eff == 3
 
 
+def test_noise_feed_replay_reproduces_keyed_run(key):
+    """Parity/replay mode: feeding the exact standard-normal draws the keyed
+    run would make (docs/rng.md order) reproduces it bit-for-bit, and a
+    different feed changes the output (proves the feed is consumed)."""
+    x = jax.random.normal(key, (1, 4, 8, 8), jnp.float32)
+    latent = jnp.zeros_like(x)
+    mask = jnp.zeros_like(x).at[:, :, :4, :].set(1.0)
+    sigma = jnp.ones((1,), jnp.float32)
+    cfg = LanPaintConfig(n_steps=4, use_fused_kernels=False)
+    times = unify_times(sigma, ModelKind.EPS)
+    noise = jax.random.normal(jax.random.PRNGKey(7), x.shape, jnp.float32)
+    run_key = jax.random.PRNGKey(3)
+
+    def run(feed):
+        return lanpaint_update(
+            linear_denoiser, x, latent_image=latent, noise=noise,
+            latent_mask=mask, sigma=sigma, times=times,
+            n_steps=jnp.int32(cfg.n_steps), config=cfg, kind=ModelKind.EPS,
+            key=run_key, noise_feed=feed)
+
+    _, x_ref, _ = run(None)
+
+    # reconstruct the documented draw order: k_loop = split(key)[1],
+    # per inner step i: fold_in(k_loop, i) -> split 5
+    _, k_loop = jax.random.split(run_key)
+    rows = []
+    for i in range(cfg.n_steps + 1):  # +1: final-denoise iteration draws too
+        ks = jax.random.split(jax.random.fold_in(k_loop, i), 5)
+        rows.append(jnp.stack([jax.random.normal(k, x.shape, jnp.float32)
+                               for k in ks]))
+    feed = jnp.stack(rows)
+    _, x_replay, _ = run(feed)
+    # not bitwise: keyed and replay runs are different XLA programs, so
+    # fusion/reassociation can differ in odd elements
+    np.testing.assert_allclose(np.asarray(x_ref), np.asarray(x_replay),
+                               rtol=1e-5, atol=1e-6)
+
+    _, x_other, _ = run(feed + 0.1)
+    assert not np.allclose(np.asarray(x_ref), np.asarray(x_other))
+
+
 def test_semantic_stop_disabled_when_all_known(key):
     """All-known mask disables the semantic stop (inpaint weight ~ 0,
     reference earlystop.py:115-117); loop runs all n_steps."""

@@ -135,6 +135,39 @@ def test_sd3_roundtrip_functional():
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def test_hidream_roundtrip_exact():
+    from lanpaint_tpu.models.hidream import TINY_HIDREAM_CONFIG, HiDreamModel
+
+    cfg = TINY_HIDREAM_CONFIG
+    module = HiDreamModel(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.latent_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.context_dim)),
+                         jnp.zeros((1, cfg.vec_dim)),
+                         jnp.zeros((2, 1, 4, cfg.llama_dim)))
+    state = L.export_hidream(params, cfg)
+    for want in [
+        "double_stream_blocks.0.attn_img.to_q.weight",
+        "double_stream_blocks.0.attn_img.q_rms_norm.scale",
+        "double_stream_blocks.0.ff_img.shared_experts.w1.weight",
+        "double_stream_blocks.0.ff_img.experts_w1",
+        "double_stream_blocks.0.ff_img.gate.weight",
+        "double_stream_blocks.1.llama_proj.bias",
+        "single_stream_blocks.0.ff.experts_w2",
+        "single_stream_blocks.1.adaLN_modulation.1.weight",
+        "final_layer.linear.weight",
+    ]:
+        assert want in state, want
+    # routed experts keep the stacked (E, in, out) layout
+    assert state["single_stream_blocks.0.ff.experts_w1"].shape == (
+        cfg.depth_single, cfg.num_experts, cfg.hidden, cfg.ffn_dim)[1:] or \
+        state["single_stream_blocks.0.ff.experts_w1"].shape == (
+        cfg.num_experts, cfg.hidden, cfg.ffn_dim)
+    back = L.import_hidream(state, cfg)
+    _tree_eq(params["params"], back["params"])
+
+
 def test_wan_roundtrip_exact():
     cfg = TINY_WAN_CONFIG
     module = WanModel(cfg)

@@ -185,6 +185,71 @@ def test_sd3_pos_embed_centered_crop(key):
         assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_moe_feedforward_routing(key):
+    """The MoE FF must equal shared(x) + sum of the renormalized top-k
+    routed experts computed by hand (dense-einsum formulation check)."""
+    import dataclasses
+
+    import numpy as onp
+
+    from lanpaint_tpu.models.hidream import TINY_HIDREAM_CONFIG, MoEFeedForward
+
+    cfg = dataclasses.replace(TINY_HIDREAM_CONFIG, dtype=jnp.float32)
+    m = MoEFeedForward(cfg)
+    x = jax.random.normal(key, (1, 5, cfg.hidden), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(p, x)
+
+    pp = p["params"]
+    xf = onp.asarray(x, onp.float32)
+
+    def dense(name, v):
+        k = onp.asarray(pp["shared"][name]["kernel"], onp.float32)
+        return v @ k
+
+    def silu(v):
+        return v / (1 + onp.exp(-v))
+
+    shared = dense("w2", silu(dense("w1", xf)) * dense("w3", xf))
+    logits = xf @ onp.asarray(pp["gate"]["kernel"], onp.float32)
+    probs = onp.exp(logits - logits.max(-1, keepdims=True))
+    probs = probs / probs.sum(-1, keepdims=True)
+    order = onp.argsort(-probs, axis=-1)[..., :cfg.num_activated]
+    routed = onp.zeros_like(shared)
+    for b in range(xf.shape[0]):
+        for s in range(xf.shape[1]):
+            top = order[b, s]
+            w = probs[b, s, top]
+            w = w / w.sum()
+            for e_i, wi in zip(top, w):
+                w1 = onp.asarray(pp["experts_w1"][e_i], onp.float32)
+                w2 = onp.asarray(pp["experts_w2"][e_i], onp.float32)
+                w3 = onp.asarray(pp["experts_w3"][e_i], onp.float32)
+                v = xf[b, s]
+                routed[b, s] += wi * ((silu(v @ w1) * (v @ w3)) @ w2)
+    np.testing.assert_allclose(np.asarray(out), shared + routed,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hidream_end_to_end_inpaint(key):
+    """HiDream MoE-MMDiT (double+single streams, per-block llama slices)
+    through the full inpaint pipeline."""
+    from lanpaint_tpu.models.zoo import build_tiny_hidream
+
+    den, _ = build_tiny_hidream()
+    latent = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[8:, :] = 1.0
+    cond = {"context": jnp.zeros((1, 8, 32), jnp.float32),
+            "vec": jnp.zeros((1, 16), jnp.float32),
+            "llama": jnp.zeros((2, 1, 4, 24), jnp.float32)}
+    out = ksampler(den, seed=0, steps=3, cfg=1.0, sampler_name="euler",
+                   scheduler="simple", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
 def test_wan_end_to_end_video_inpaint(tiny_wan, key):
     """5D video latent + frame-stack mask through the full pipeline
     (reference video path, nodes.py:113-114, 40-71)."""
