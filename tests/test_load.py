@@ -199,3 +199,74 @@ def test_fp8_scaled_dequant(tmp_path):
     got = out["blocks.0.ffn.0.weight"]
     want = f8.to(torch.float32).numpy() * 2.0
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_lora_merge_kohya_and_diffusers():
+    """LoRA pairs in both public layouts merge with W += s*(a/r)*up@down;
+    unmatched pairs raise."""
+    from lanpaint_tpu.models.lora import apply_lora
+
+    rng = np.random.default_rng(0)
+    w_lin = rng.standard_normal((8, 6), np.float32)
+    w_conv = rng.standard_normal((8, 4, 3, 3), np.float32)
+    state = {
+        "model.diffusion_model.input_blocks.1.0.in_layers.2.weight": w_conv,
+        "model.diffusion_model.middle_block.1.proj_in.weight": w_lin,
+    }
+    r = 2
+    down_l = rng.standard_normal((r, 6), np.float32)
+    up_l = rng.standard_normal((8, r), np.float32)
+    down_c = rng.standard_normal((r, 4, 3, 3), np.float32)
+    up_c = rng.standard_normal((8, r, 1, 1), np.float32)
+    lora = {
+        # kohya names the conv weight
+        "lora_unet_input_blocks_1_0_in_layers_2.lora_down.weight": down_c,
+        "lora_unet_input_blocks_1_0_in_layers_2.lora_up.weight": up_c,
+        "lora_unet_input_blocks_1_0_in_layers_2.alpha": np.float32(4.0),
+        # diffusers/PEFT names the linear weight
+        "model.diffusion_model.middle_block.1.proj_in.lora_A.weight": down_l,
+        "model.diffusion_model.middle_block.1.proj_in.lora_B.weight": up_l,
+    }
+    out = apply_lora(state, lora, strength=0.5)
+    want_lin = w_lin + 0.5 * (r / r) * (up_l @ down_l)
+    np.testing.assert_allclose(
+        out["model.diffusion_model.middle_block.1.proj_in.weight"],
+        want_lin, rtol=1e-6)
+    delta_c = (up_c.reshape(8, r) @ down_c.reshape(r, -1)).reshape(8, 4, 3, 3)
+    want_conv = w_conv + 0.5 * (4.0 / r) * delta_c
+    np.testing.assert_allclose(
+        out["model.diffusion_model.input_blocks.1.0.in_layers.2.weight"],
+        want_conv, rtol=1e-6)
+    # originals untouched
+    np.testing.assert_array_equal(
+        state["model.diffusion_model.middle_block.1.proj_in.weight"], w_lin)
+
+    with pytest.raises(KeyError, match="no matching"):
+        apply_lora(state, {"lora_unet_nope.lora_down.weight": down_l,
+                           "lora_unet_nope.lora_up.weight": up_l})
+
+
+def test_lora_end_to_end_changes_forward():
+    """Merging a LoRA through export->apply->import changes the model
+    forward (full pipeline wiring check)."""
+    from lanpaint_tpu.models.lora import apply_lora
+
+    cfg = TINY_UNET_CONFIG
+    module = UNetModel(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 16, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.context_dim))
+    params = module.init(jax.random.PRNGKey(0), x, jnp.zeros((1,)), ctx, None)
+    state = L.export_unet(params, cfg)
+    key = "model.diffusion_model.middle_block.1.proj_in.weight"
+    o, i = state[key].shape[:2]
+    rng = np.random.default_rng(3)
+    lora = {
+        "lora_unet_middle_block_1_proj_in.lora_down.weight":
+            rng.standard_normal((2, i), np.float32),
+        "lora_unet_middle_block_1_proj_in.lora_up.weight":
+            rng.standard_normal((o, 2), np.float32),
+    }
+    merged = L.import_unet(apply_lora(state, lora, strength=1.0), cfg)
+    y0 = module.apply(params, x, jnp.full((1,), 10.0), ctx, None)
+    y1 = module.apply(merged, x, jnp.full((1,), 10.0), ctx, None)
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
