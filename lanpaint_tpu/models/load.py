@@ -156,7 +156,7 @@ def _leaves(kind):
 # stack = None for plain tensors, (idx, depth) for per-depth stacked leaves.
 
 
-def _unet_entries(cfg):
+def _unet_entries(cfg, encoder_only: bool = False):
     e = []
     e += [(f"time_embed.{i}", ("time_embed", n), "linear", None)
           for i, n in [(0, "in_layer"), (2, "out_layer")]]
@@ -164,8 +164,9 @@ def _unet_entries(cfg):
         e += [(f"label_emb.0.{i}", ("label_emb", n), "linear", None)
               for i, n in [(0, "in_layer"), (2, "out_layer")]]
     e.append(("input_blocks.0.0", ("input_conv",), "conv", None))
-    e.append(("out.0", ("out_norm", "GroupNorm_0"), "norm", None))
-    e.append(("out.2", ("out_conv",), "conv", None))
+    if not encoder_only:
+        e.append(("out.0", ("out_norm", "GroupNorm_0"), "norm", None))
+        e.append(("out.2", ("out_conv",), "conv", None))
 
     def res(ckpt, flax):
         return [
@@ -222,6 +223,8 @@ def _unet_entries(cfg):
         e += res("middle_block.2", ("mid_res2",))
     else:
         e += res("middle_block.1", ("mid_res2",))
+    if encoder_only:
+        return e
 
     idx = 0
     for level in reversed(range(len(cfg.channel_mult))):
@@ -237,6 +240,30 @@ def _unet_entries(cfg):
                           (f"up_{level}_us", "conv"), "conv", None))
             idx += 1
     return e
+
+
+def _controlnet_entries(cfg):
+    """cldm ControlNet layout: the UNet encoder entries + hint encoder +
+    zero convs (public keys input_hint_block.{0,2,..,14}, zero_convs.{j}.0,
+    middle_block_out.0; prefix `control_model.`)."""
+    e = _unet_entries(cfg, encoder_only=True)
+    for j in range(8):
+        e.append((f"input_hint_block.{2 * j}",
+                  ("input_hint_block", f"conv_{j}"), "conv", None))
+    n_zero = 1 + len(cfg.channel_mult) * cfg.num_res_blocks \
+        + (len(cfg.channel_mult) - 1)
+    for j in range(n_zero):
+        e.append((f"zero_convs.{j}.0", (f"zero_conv_{j}",), "conv", None))
+    e.append(("middle_block_out.0", ("middle_block_out",), "conv", None))
+    return e
+
+
+def import_controlnet(state, cfg, prefix: str = "control_model.") -> dict:
+    return _import(state, _controlnet_entries(cfg), prefix)
+
+
+def export_controlnet(params, cfg, prefix: str = "control_model.") -> dict:
+    return _export(params, _controlnet_entries(cfg), prefix)
 
 
 def _dit_entries(cfg):

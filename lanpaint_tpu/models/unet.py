@@ -78,8 +78,26 @@ class UNetModel(nn.Module):
         return self.cfg.num_heads
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y=None):
+    def __call__(self, x, timesteps, context, y=None, control=None):
+        """`control` (ControlNet residual injection, the reference's
+        "works with ControlNet" feature via the host's apply_control):
+        optional dict with "input" (list added to each skip activation as
+        it is produced), "middle" (added after the middle block) and/or
+        "output" (list added to each skip as it is consumed in the up
+        path).  Both lists are indexed by the skip's production (append)
+        order — a ControlNet's encoder-order residuals plug into "output"
+        directly.  Entries may be None; lists may be shorter than the
+        skip count (missing entries are no-ops)."""
         cfg = self.cfg
+        ctl_in = list((control or {}).get("input") or [])
+        ctl_out = list((control or {}).get("output") or [])
+        ctl_mid = (control or {}).get("middle")
+
+        def add_ctl(h, entries, idx):
+            if idx < len(entries) and entries[idx] is not None:
+                h = h + entries[idx].astype(h.dtype)
+            return h
+
         x = jnp.transpose(x, (0, 2, 3, 1)).astype(cfg.dtype)  # NCHW -> NHWC
         context = context.astype(cfg.dtype)
 
@@ -92,6 +110,7 @@ class UNetModel(nn.Module):
 
         h = nn.Conv(cfg.model_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     name="input_conv")(x)
+        h = add_ctl(h, ctl_in, 0)
         skips = [h]
 
         # down path
@@ -104,9 +123,11 @@ class UNetModel(nn.Module):
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
                         name=f"down_{level}_{i}_attn")(h, context)
+                h = add_ctl(h, ctl_in, len(skips))
                 skips.append(h)
             if level != len(cfg.channel_mult) - 1:
                 h = Downsample(ch, dtype=cfg.dtype, name=f"down_{level}_ds")(h)
+                h = add_ctl(h, ctl_in, len(skips))
                 skips.append(h)
 
         # middle
@@ -117,12 +138,16 @@ class UNetModel(nn.Module):
                                    depth=cfg.transformer_depth_middle,
                                    dtype=cfg.dtype, name="mid_attn")(h, context)
         h = ResBlock(ch, dtype=cfg.dtype, name="mid_res2")(h, emb)
+        if ctl_mid is not None:
+            h = h + ctl_mid.astype(h.dtype)
 
         # up path
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             ch = cfg.model_channels * mult
             for i in range(cfg.num_res_blocks + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
+                idx = len(skips) - 1
+                skip = add_ctl(skips.pop(), ctl_out, idx)
+                h = jnp.concatenate([h, skip], axis=-1)
                 h = ResBlock(ch, dtype=cfg.dtype, name=f"up_{level}_{i}_res")(h, emb)
                 if cfg.transformer_depth[level] > 0:
                     h = SpatialTransformer(

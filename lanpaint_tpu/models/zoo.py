@@ -150,6 +150,79 @@ def build_tiny_unet(params=None, **kw):
 
 
 # --------------------------------------------------------------------------
+# ControlNet-conditioned UNet
+
+
+def build_controlled_unet(
+    config: UNetConfig,
+    unet_params: Optional[Any] = None,
+    cn_params: Optional[Any] = None,
+    *,
+    strength: float = 1.0,
+    v_prediction: bool = False,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "controlled-unet",
+):
+    """UNet + ControlNet pair (reference README.md:133 "ControlNet").
+
+    The conditioning dict must carry `hint`: a (B, 3, H*8, W*8) pixel-space
+    control image.  Residuals are computed per forward and injected at the
+    UNet skips (UNetModel `control=`), scaled by `strength`.
+    """
+    from .controlnet import ControlNet, scale_control
+
+    module = UNetModel(config)
+    cn = ControlNet(config)
+    b = 1
+    if unet_params is None:
+        x = jnp.zeros((b, config.in_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        y = (jnp.zeros((b, config.adm_in_channels), jnp.float32)
+             if config.adm_in_channels else None)
+        unet_params = init_params_host(module, x, jnp.zeros((b,)), ctx, y,
+                                       seed=seed)
+    if cn_params is None:
+        x = jnp.zeros((b, config.in_channels, init_hw, init_hw), jnp.float32)
+        hint = jnp.zeros((b, 3, init_hw * 8, init_hw * 8), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        y = (jnp.zeros((b, config.adm_in_channels), jnp.float32)
+             if config.adm_in_channels else None)
+        cn_params = init_params_host(cn, x, hint, jnp.zeros((b,)), ctx, y,
+                                     seed=seed + 1)
+    params = {"unet": unet_params, "cn": cn_params}
+
+    table = EpsSigmaTable()
+    log_sigmas = jnp.asarray(jnp.log(jnp.asarray(table.sigmas)), jnp.float32)
+
+    def sigma_to_timestep(sigma):
+        return jnp.interp(jnp.log(jnp.maximum(sigma, 1e-10)), log_sigmas,
+                          jnp.arange(log_sigmas.shape[0], dtype=jnp.float32))
+
+    def raw_apply(p, x, sigma, cond):
+        s = _bc(sigma, x.ndim)
+        x_in = x / jnp.sqrt(1.0 + s**2)
+        t_disc = sigma_to_timestep(sigma)
+        y = cond.get("y") if isinstance(cond, dict) else None
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        hint = cond.get("hint") if isinstance(cond, dict) else None
+        control = None
+        if hint is not None:
+            control = scale_control(
+                cn.apply(p["cn"], x_in, hint, t_disc, ctx, y), strength)
+        eps = module.apply(p["unet"], x_in, t_disc, ctx, y, control)
+        if v_prediction:
+            return x / (1.0 + s**2) - s / jnp.sqrt(1.0 + s**2) * eps
+        return x - s * eps
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params,
+                   kind=ModelKind.EPS, sigma_table=table,
+                   name=name, latent_channels=config.in_channels)
+    return den, params
+
+
+# --------------------------------------------------------------------------
 # flow-matching DiTs (Flux family, Qwen-Image, Z-Image)
 
 

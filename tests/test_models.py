@@ -263,3 +263,109 @@ def test_wan_end_to_end_video_inpaint(tiny_wan, key):
                    mask=jnp.asarray(mask), num_steps=2, video=True)
     assert out.shape == latent.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_unet_control_injection(key):
+    """control dict residuals must change the forward; zero residuals must
+    be a no-op (comfy apply_control semantics, input/middle/output slots)."""
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG, UNetModel
+
+    cfg = TINY_UNET_CONFIG
+    module = UNetModel(cfg)
+    x = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    ctx = jnp.zeros((1, 8, cfg.context_dim), jnp.float32)
+    t = jnp.full((1,), 10.0)
+    params = module.init(jax.random.PRNGKey(0), x, t, ctx, None)
+
+    y_base = module.apply(params, x, t, ctx, None)
+    # n_skips = 1 + levels*res_blocks + (levels-1) = 1 + 2 + 1 = 4
+    zeros_ctl = {
+        "input": [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 16, 16, 32)),
+                  jnp.zeros((1, 8, 8, 32)), jnp.zeros((1, 8, 8, 64))],
+        "middle": jnp.zeros((1, 8, 8, 64)),
+    }
+    y_zero = module.apply(params, x, t, ctx, None, zeros_ctl)
+    np.testing.assert_array_equal(np.asarray(y_base), np.asarray(y_zero))
+
+    mid_only = {"middle": jnp.ones((1, 8, 8, 64))}
+    y_mid = module.apply(params, x, t, ctx, None, mid_only)
+    assert not np.allclose(np.asarray(y_base), np.asarray(y_mid))
+
+    out_only = {"output": [jnp.ones((1, 16, 16, 32))]}  # first-produced skip
+    y_out = module.apply(params, x, t, ctx, None, out_only)
+    assert not np.allclose(np.asarray(y_base), np.asarray(y_out))
+
+
+def test_controlnet_shapes_and_zero_init(key):
+    """ControlNet produces one residual per skip position; zero-initialized
+    projections make it an exact no-op at init (cldm design)."""
+    from lanpaint_tpu.models.controlnet import ControlNet
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG, UNetModel
+
+    cfg = TINY_UNET_CONFIG
+    cn = ControlNet(cfg)
+    x = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    hint = jax.random.normal(jax.random.fold_in(key, 1), (1, 3, 128, 128))
+    ctx = jnp.zeros((1, 8, cfg.context_dim), jnp.float32)
+    t = jnp.full((1,), 10.0)
+    cn_params = cn.init(jax.random.PRNGKey(1), x, hint, t, ctx, None)
+    ctl = cn.apply(cn_params, x, hint, t, ctx, None)
+    assert len(ctl["output"]) == 4
+    assert ctl["middle"].shape == (1, 8, 8, 64)
+    # zero convs at init -> all residuals exactly zero
+    for c in ctl["output"]:
+        np.testing.assert_array_equal(np.asarray(c), 0.0)
+    np.testing.assert_array_equal(np.asarray(ctl["middle"]), 0.0)
+
+    # UNet with init-state control == UNet without
+    module = UNetModel(cfg)
+    params = module.init(jax.random.PRNGKey(0), x, t, ctx, None)
+    y0 = module.apply(params, x, t, ctx, None)
+    y1 = module.apply(params, x, t, ctx, None, ctl)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_controlnet_roundtrip_and_end_to_end(key):
+    from lanpaint_tpu.models import load as L
+    from lanpaint_tpu.models.controlnet import ControlNet
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG
+    from lanpaint_tpu.models.zoo import build_controlled_unet
+
+    cfg = TINY_UNET_CONFIG
+    cn = ControlNet(cfg)
+    x = jnp.zeros((1, 4, 16, 16))
+    hint = jnp.zeros((1, 3, 128, 128))
+    ctx = jnp.zeros((1, 8, cfg.context_dim))
+    cn_params = cn.init(jax.random.PRNGKey(1), x, hint, jnp.zeros((1,)), ctx, None)
+    state = L.export_controlnet(cn_params, cfg)
+    for want in ["control_model.input_hint_block.0.weight",
+                 "control_model.input_hint_block.14.bias",
+                 "control_model.zero_convs.0.0.weight",
+                 "control_model.zero_convs.3.0.weight",
+                 "control_model.middle_block_out.0.weight",
+                 "control_model.input_blocks.1.0.in_layers.2.weight",
+                 "control_model.time_embed.0.weight"]:
+        assert want in state, want
+    assert "control_model.out.2.weight" not in state  # encoder only
+    back = L.import_controlnet(state, cfg)
+
+    def tree_eq(a, b):
+        ja, jb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+        assert len(ja) == len(jb)
+        for u, v in zip(ja, jb):
+            np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    tree_eq(cn_params["params"], back["params"])
+
+    # end-to-end: hint-conditioned denoiser through the inpaint pipeline
+    den, _ = build_controlled_unet(cfg)
+    latent = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[:, 8:] = 1.0
+    cond = {"context": jnp.zeros((1, 8, cfg.context_dim), jnp.float32),
+            "hint": jax.random.normal(jax.random.fold_in(key, 2),
+                                      (1, 3, 128, 128), jnp.float32)}
+    out = ksampler(den, seed=0, steps=3, cfg=1.0, sampler_name="euler",
+                   scheduler="normal", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
