@@ -9,6 +9,7 @@ kernels) driving JAX diffusion backbones.
 
 from .api import (  # noqa: F401
     LanPaintSampler,
+    inpaint_image,
     ksampler,
     ksampler_advanced,
     sample_custom,

@@ -367,3 +367,51 @@ def sample_custom_advanced(
     if model.process_latent_out is not None:
         denoised = model.process_latent_out(denoised)
     return samples, denoised
+
+
+def inpaint_image(
+    model: Denoiser,
+    vae_module,
+    vae_params,
+    *,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    positive: Any,
+    negative: Any = None,
+    seed: int = 0,
+    steps: int = 30,
+    cfg: float = 5.0,
+    sampler_name: str = "euler",
+    scheduler: str = "karras",
+    num_steps: int = 5,
+    prompt_mode: str = "Image First",
+    blend_overlap: int = 9,
+    **sampler_kwargs,
+):
+    """Pixel-space inpainting: VAE encode -> LanPaint ksampler -> VAE decode
+    -> MaskBlend.
+
+    Composes the full workflow the reference's example graphs run through
+    their host (VAEEncode -> LanPaint_KSampler -> VAEDecode ->
+    LanPaint_MaskBlend, e.g. example_workflows/SDXL_Inpaint.json) as one
+    call.  `image` is (B, 3, H, W) in [-1, 1] with H/W multiples of 8;
+    `mask` is (H, W) pixel mask (1 = repaint).  Returns (B, 3, H, W).
+    """
+    from .masks import mask_blend
+
+    latent = vae_module.apply(vae_params, image, method="encode")
+    out_latent = ksampler(
+        model, seed=seed, steps=steps, cfg=cfg, sampler_name=sampler_name,
+        scheduler=scheduler, positive=positive, negative=negative,
+        latent=latent, mask=mask, num_steps=num_steps,
+        prompt_mode=prompt_mode, **sampler_kwargs,
+    )
+    decoded = vae_module.apply(vae_params, out_latent, method="decode")
+    if blend_overlap <= 0:
+        return decoded
+    img_hwc = jnp.transpose(image, (0, 2, 3, 1))
+    dec_hwc = jnp.transpose(decoded, (0, 2, 3, 1)).astype(img_hwc.dtype)
+    m = jnp.broadcast_to(jnp.asarray(mask, jnp.float32)[None],
+                         img_hwc.shape[:3])
+    blended = mask_blend(img_hwc, dec_hwc, m, blend_overlap=blend_overlap)
+    return jnp.transpose(blended, (0, 3, 1, 2))

@@ -242,6 +242,75 @@ def _unet_entries(cfg, encoder_only: bool = False):
     return e
 
 
+def _vae_entries(cfg):
+    """AutoencoderKL public layout: encoder.down.{i}.block.{j} /
+    decoder.up.{i}.block.{j} ResNets, mid block_1/attn_1/block_2, and the
+    SD-family quant convs (absent for the SD3/Flux 16ch VAEs)."""
+    def res(ckpt, flax):
+        return [
+            (f"{ckpt}.norm1", flax + ("norm1", "GroupNorm_0"), "norm", None),
+            (f"{ckpt}.conv1", flax + ("conv1",), "conv", None),
+            (f"{ckpt}.norm2", flax + ("norm2", "GroupNorm_0"), "norm", None),
+            (f"{ckpt}.conv2", flax + ("conv2",), "conv", None),
+            (f"{ckpt}.nin_shortcut", flax + ("nin_shortcut",), "conv", None),
+        ]
+
+    def attn(ckpt, flax):
+        out = [(f"{ckpt}.norm", flax + ("norm", "GroupNorm_0"), "norm", None)]
+        out += [(f"{ckpt}.{w}", flax + (w,), "conv", None)
+                for w in ("q", "k", "v", "proj_out")]
+        return out
+
+    e = []
+    enc = ("encoder",)
+    e.append(("encoder.conv_in", enc + ("conv_in",), "conv", None))
+    for i in range(len(cfg.ch_mult)):
+        for j in range(cfg.num_res_blocks):
+            e += res(f"encoder.down.{i}.block.{j}",
+                     enc + (f"down_{i}_block_{j}",))
+        if i != len(cfg.ch_mult) - 1:
+            e.append((f"encoder.down.{i}.downsample.conv",
+                      enc + (f"down_{i}_ds",), "conv", None))
+    e += res("encoder.mid.block_1", enc + ("mid_block_1",))
+    e += attn("encoder.mid.attn_1", enc + ("mid_attn_1",))
+    e += res("encoder.mid.block_2", enc + ("mid_block_2",))
+    e.append(("encoder.norm_out", enc + ("norm_out", "GroupNorm_0"), "norm", None))
+    e.append(("encoder.conv_out", enc + ("conv_out",), "conv", None))
+    if cfg.quant_conv:
+        e.append(("quant_conv", enc + ("quant_conv",), "conv", None))
+
+    dec = ("decoder",)
+    if cfg.quant_conv:
+        e.append(("post_quant_conv", dec + ("post_quant_conv",), "conv", None))
+    e.append(("decoder.conv_in", dec + ("conv_in",), "conv", None))
+    e += res("decoder.mid.block_1", dec + ("mid_block_1",))
+    e += attn("decoder.mid.attn_1", dec + ("mid_attn_1",))
+    e += res("decoder.mid.block_2", dec + ("mid_block_2",))
+    for i in range(len(cfg.ch_mult)):
+        for j in range(cfg.num_res_blocks + 1):
+            e += res(f"decoder.up.{i}.block.{j}", dec + (f"up_{i}_block_{j}",))
+        if i != 0:
+            e.append((f"decoder.up.{i}.upsample.conv",
+                      dec + (f"up_{i}_us",), "conv", None))
+    e.append(("decoder.norm_out", dec + ("norm_out", "GroupNorm_0"), "norm", None))
+    e.append(("decoder.conv_out", dec + ("conv_out",), "conv", None))
+    return e
+
+
+def import_vae(state, cfg, prefix: str = None) -> dict:
+    """Import a VAE from a standalone file (bare keys) or a full checkpoint
+    (`first_stage_model.` prefix, auto-detected when prefix is None)."""
+    if prefix is None:
+        prefix = ("first_stage_model."
+                  if any(k.startswith("first_stage_model.") for k in state)
+                  else "")
+    return _import(state, _vae_entries(cfg), prefix)
+
+
+def export_vae(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _vae_entries(cfg), prefix)
+
+
 def _controlnet_entries(cfg):
     """cldm ControlNet layout: the UNet encoder entries + hint encoder +
     zero convs (public keys input_hint_block.{0,2,..,14}, zero_convs.{j}.0,

@@ -1,0 +1,131 @@
+"""AutoencoderKL tests: shapes, checkpoint roundtrip, scaling conventions,
+and the pixel-level inpaint_image pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lanpaint_tpu.models import load as L
+from lanpaint_tpu.models.vae import (
+    FLUX_VAE_CONFIG,
+    SD_VAE_CONFIG,
+    TINY_VAE_CONFIG,
+    VAE,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vae():
+    cfg = TINY_VAE_CONFIG
+    module = VAE(cfg)
+    x = jnp.zeros((1, 3, 32, 32), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    return cfg, module, params
+
+
+def test_vae_shapes(tiny_vae, key):
+    cfg, module, params = tiny_vae
+    x = jax.random.normal(key, (2, 3, 32, 32), jnp.float32)
+    z = module.apply(params, x, method="encode")
+    # 2 levels -> one downsample -> /2 spatial
+    assert z.shape == (2, cfg.z_channels, 16, 16)
+    y = module.apply(params, z, method="decode")
+    assert y.shape == (2, 3, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(y)))
+
+
+def test_vae_encode_stochastic_vs_mean(tiny_vae, key):
+    cfg, module, params = tiny_vae
+    x = jax.random.normal(key, (1, 3, 32, 32), jnp.float32)
+    z_mean = module.apply(params, x, method="encode")
+    z_mean2 = module.apply(params, x, method="encode")
+    np.testing.assert_array_equal(np.asarray(z_mean), np.asarray(z_mean2))
+    z_s = module.apply(params, x, jax.random.PRNGKey(1), method="encode")
+    assert not np.allclose(np.asarray(z_mean), np.asarray(z_s))
+
+
+def test_vae_scaling_convention(tiny_vae, key):
+    """encode applies (mean - shift) * scale; decode inverts it."""
+    import dataclasses
+
+    cfg, module, params = tiny_vae
+    cfg2 = dataclasses.replace(cfg, scale_factor=2.0, shift_factor=0.25)
+    module2 = VAE(cfg2)
+    x = jax.random.normal(key, (1, 3, 32, 32), jnp.float32)
+    z1 = module.apply(params, x, method="encode")   # scale .18215, shift 0
+    z2 = module2.apply(params, x, method="encode")
+    np.testing.assert_allclose(
+        np.asarray(z2), (np.asarray(z1) / cfg.scale_factor - 0.25) * 2.0,
+        rtol=1e-5, atol=1e-6)
+
+
+def test_vae_roundtrip_exact(tiny_vae):
+    cfg, module, params = tiny_vae
+    state = L.export_vae(params, cfg)
+    for want in [
+        "encoder.conv_in.weight",
+        "encoder.down.0.block.0.norm1.weight",
+        "encoder.down.0.downsample.conv.weight",
+        "encoder.mid.attn_1.q.weight",
+        "encoder.norm_out.bias",
+        "quant_conv.weight",
+        "post_quant_conv.weight",
+        "decoder.up.1.block.1.conv2.weight",
+        "decoder.up.1.upsample.conv.weight",
+        "decoder.conv_out.bias",
+    ]:
+        assert want in state, want
+    # conv weights keep torch OIHW layout on export
+    assert state["encoder.conv_in.weight"].shape[1] == 3
+    back = L.import_vae(state, cfg)
+
+    flat_a = jax.tree_util.tree_leaves_with_path(params["params"])
+    flat_b = jax.tree_util.tree_leaves_with_path(back["params"])
+    assert len(flat_a) == len(flat_b)
+    for (pa, va), (pb, vb) in zip(sorted(flat_a, key=lambda t: str(t[0])),
+                                  sorted(flat_b, key=lambda t: str(t[0]))):
+        assert str(pa) == str(pb)
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb), err_msg=str(pa))
+
+
+def test_vae_import_prefix_autodetect(tiny_vae):
+    cfg, module, params = tiny_vae
+    state = L.export_vae(params, cfg, prefix="first_stage_model.")
+    back = L.import_vae(state, cfg)  # prefix auto-detected
+    leaves_a = jax.tree_util.tree_leaves(params)
+    leaves_b = jax.tree_util.tree_leaves(back)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flux_vae_no_quant_conv():
+    cfg = FLUX_VAE_CONFIG
+    assert not cfg.quant_conv and cfg.z_channels == 16
+    ent = {c for c, *_ in L._vae_entries(cfg)}
+    assert "quant_conv" not in ent and "post_quant_conv" not in ent
+    ent_sd = {c for c, *_ in L._vae_entries(SD_VAE_CONFIG)}
+    assert "quant_conv" in ent_sd
+
+
+def test_inpaint_image_pixel_pipeline(tiny_vae, key):
+    """Full pixel-level path: encode -> LanPaint -> decode -> MaskBlend."""
+    from lanpaint_tpu import inpaint_image
+    from lanpaint_tpu.models.zoo import build_tiny_unet
+
+    cfg, module, params = tiny_vae
+    den, _ = build_tiny_unet()
+    image = jnp.tanh(jax.random.normal(key, (1, 3, 128, 128), jnp.float32))
+    mask = np.zeros((128, 128), np.float32)
+    mask[32:96, 32:96] = 1.0
+    cond = {"context": jnp.zeros((1, 8, 32), jnp.float32)}
+    out = inpaint_image(
+        den, module, params, image=image, mask=jnp.asarray(mask),
+        positive=cond, seed=0, steps=3, cfg=1.0, scheduler="normal",
+        num_steps=2, blend_overlap=9)
+    assert out.shape == image.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # far outside the (dilated+feathered) mask the original pixels survive
+    np.testing.assert_allclose(np.asarray(out)[..., :8, :8],
+                               np.asarray(image)[..., :8, :8], atol=1e-4)
