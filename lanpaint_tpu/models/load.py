@@ -113,7 +113,7 @@ def _t_in(kind, w):
     """checkpoint tensor -> flax leaf layout."""
     if kind in ("linear", "linear_nb", "mlp"):
         return t_linear(w)
-    if kind == "conv":
+    if kind in ("conv", "conv_nb"):
         return t_conv2d(w)
     if kind == "linear_or_conv1x1":
         return t_linear(w[:, :, 0, 0] if w.ndim == 4 else w)
@@ -127,7 +127,7 @@ def _t_out(kind, w):
     """flax leaf -> checkpoint tensor layout."""
     if kind in ("linear", "linear_nb", "mlp", "linear_or_conv1x1"):
         return np.transpose(w, (1, 0))
-    if kind == "conv":
+    if kind in ("conv", "conv_nb"):
         return np.transpose(w, (3, 2, 0, 1))
     if isinstance(kind, tuple) and kind[0] == "conv3d_as_linear":
         if w.ndim == 2:  # kernel (I*pf*ph*pw, O) -> (O, I, pf, ph, pw)
@@ -144,7 +144,7 @@ def _leaves(kind):
         return [("weight", "scale"), ("bias", "bias")]
     if kind == "rms":
         return [("scale", "scale")]
-    if kind == "linear_nb":
+    if kind in ("linear_nb", "conv_nb"):
         return [("weight", "kernel")]
     if kind == "raw":
         return [("", "")]

@@ -369,3 +369,44 @@ def test_controlnet_roundtrip_and_end_to_end(key):
                    mask=jnp.asarray(mask), num_steps=2)
     assert out.shape == latent.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_taesd_decoder_shapes_and_roundtrip(key):
+    """TAESD preview decoder: 8x upsample to RGB; sequential-layout
+    checkpoint mapping roundtrips exactly."""
+    from lanpaint_tpu.models.taesd import (
+        TAESDDecoder,
+        export_taesd_decoder,
+        import_taesd_decoder,
+    )
+
+    m = TAESDDecoder(latent_channels=4)
+    z = jax.random.normal(key, (1, 4, 8, 8), jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), z)
+    rgb = m.apply(params, z)
+    assert rgb.shape == (1, 3, 64, 64)
+    assert bool(jnp.all(jnp.isfinite(rgb)))
+
+    state = export_taesd_decoder(params)
+    for want in ["decoder.1.weight", "decoder.3.conv.0.weight",
+                 "decoder.7.weight", "decoder.12.weight",
+                 "decoder.17.weight", "decoder.18.conv.4.weight",
+                 "decoder.19.bias"]:
+        assert want in state, want
+    assert "decoder.7.bias" not in state  # upsample convs are bias-free
+    back = import_taesd_decoder(state)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # preview wiring: throttled callback decodes every 2nd step
+    from lanpaint_tpu.utils import make_preview_callback
+
+    frames = []
+    cb = make_preview_callback(
+        lambda i, den: frames.append((int(i), m.apply(params, den).shape)),
+        every=2)
+    for i in range(5):
+        cb(i, z, z)
+    assert [f[0] for f in frames] == [0, 2, 4]
+    assert all(f[1] == (1, 3, 64, 64) for f in frames)
