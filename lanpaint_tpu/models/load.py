@@ -111,7 +111,7 @@ def _tree_to_flat(params, prefix=()):
 
 def _t_in(kind, w):
     """checkpoint tensor -> flax leaf layout."""
-    if kind in ("linear", "linear_nb", "mlp"):
+    if kind in ("linear", "linear_nb", "mlp", "raw_linear"):
         return t_linear(w)
     if kind in ("conv", "conv_nb"):
         return t_conv2d(w)
@@ -125,7 +125,7 @@ def _t_in(kind, w):
 
 def _t_out(kind, w):
     """flax leaf -> checkpoint tensor layout."""
-    if kind in ("linear", "linear_nb", "mlp", "linear_or_conv1x1"):
+    if kind in ("linear", "linear_nb", "mlp", "linear_or_conv1x1", "raw_linear"):
         return np.transpose(w, (1, 0))
     if kind in ("conv", "conv_nb"):
         return np.transpose(w, (3, 2, 0, 1))
@@ -148,6 +148,8 @@ def _leaves(kind):
         return [("weight", "kernel")]
     if kind == "raw":
         return [("", "")]
+    if kind == "raw_linear":
+        return [("weight", "")]
     return [("weight", "kernel"), ("bias", "bias")]
 
 
@@ -619,3 +621,141 @@ def export_wan(params, cfg, prefix: str = "") -> dict:
     return {k.replace(".norm_q.scale", ".norm_q.weight")
              .replace(".norm_k.scale", ".norm_k.weight"): v
             for k, v in out.items()}
+
+
+# --------------------------------------------------------------------------
+# text encoders (models/textenc.py): CLIP, T5/UMT5, Llama/Qwen2
+# HF transformers state-dict layouts (the format every public text-encoder
+# checkpoint ships in: CLIPTextModel(.WithProjection), T5EncoderModel /
+# UMT5EncoderModel, LlamaModel / Qwen2Model).
+
+
+def _clip_entries(cfg):
+    e = [
+        ("embeddings.token_embedding.weight", ("token_embedding",), "raw", None),
+        ("embeddings.position_embedding.weight", ("position_embedding",),
+         "raw", None),
+        ("final_layer_norm", ("final_ln",), "ln", None),
+    ]
+    if cfg.projection_dim:
+        e.append(("text_projection", ("text_projection",), "raw_linear", None))
+    for i in range(cfg.layers):
+        b = f"encoder.layers.{i}"
+        st = (i, cfg.layers)
+        e += [
+            (f"{b}.self_attn.q_proj", ("layers", "q"), "linear", st),
+            (f"{b}.self_attn.k_proj", ("layers", "k"), "linear", st),
+            (f"{b}.self_attn.v_proj", ("layers", "v"), "linear", st),
+            (f"{b}.self_attn.out_proj", ("layers", "out"), "linear", st),
+            (f"{b}.layer_norm1", ("layers", "ln1"), "ln", st),
+            (f"{b}.layer_norm2", ("layers", "ln2"), "ln", st),
+            (f"{b}.mlp.fc1", ("layers", "fc1"), "linear", st),
+            (f"{b}.mlp.fc2", ("layers", "fc2"), "linear", st),
+        ]
+    return e
+
+
+def import_clip(state, cfg, prefix: str = "text_model.") -> dict:
+    """HF CLIPTextModel(.WithProjection) -> flax CLIPTextEncoder params.
+
+    `text_projection.weight` lives OUTSIDE the text_model prefix in HF
+    checkpoints; it is aliased in automatically.  Our `text_projection`
+    param is (width, projection_dim), i.e. the transpose of torch Linear.
+    """
+    state = dict(state)
+    for key in ("text_projection.weight", "text_projection"):
+        if key in state and prefix + "text_projection.weight" not in state:
+            w = state[key]
+            state[prefix + "text_projection.weight"] = w
+            break
+    return _import(state, _clip_entries(cfg), prefix)
+
+
+def export_clip(params, cfg, prefix: str = "text_model.") -> dict:
+    out = _export(params, _clip_entries(cfg), prefix)
+    key = prefix + "text_projection.weight"
+    if key in out:
+        out["text_projection.weight"] = out.pop(key)
+    return out
+
+
+def _t5_entries(cfg):
+    e = [
+        ("shared.weight", ("shared",), "raw", None),
+        ("encoder.final_layer_norm", ("final_ln",), "ln", None),
+    ]
+    if not cfg.per_layer_rel_bias:
+        e.append(("encoder.block.0.layer.0.SelfAttention."
+                  "relative_attention_bias.weight", ("rel_bias",), "raw", None))
+    for i in range(cfg.layers):
+        b = f"encoder.block.{i}"
+        st = (i, cfg.layers)
+        if cfg.per_layer_rel_bias:
+            e.append((f"{b}.layer.0.SelfAttention.relative_attention_bias"
+                      ".weight", ("blocks", "rel_bias"), "raw", st))
+        e += [
+            (f"{b}.layer.0.SelfAttention.q", ("blocks", "q"), "linear_nb", st),
+            (f"{b}.layer.0.SelfAttention.k", ("blocks", "k"), "linear_nb", st),
+            (f"{b}.layer.0.SelfAttention.v", ("blocks", "v"), "linear_nb", st),
+            (f"{b}.layer.0.SelfAttention.o", ("blocks", "o"), "linear_nb", st),
+            (f"{b}.layer.0.layer_norm", ("blocks", "ln1"), "ln", st),
+            (f"{b}.layer.1.DenseReluDense.wi_0", ("blocks", "wi0"),
+             "linear_nb", st),
+            (f"{b}.layer.1.DenseReluDense.wi_1", ("blocks", "wi1"),
+             "linear_nb", st),
+            (f"{b}.layer.1.DenseReluDense.wo", ("blocks", "wo"),
+             "linear_nb", st),
+            (f"{b}.layer.1.layer_norm", ("blocks", "ln2"), "ln", st),
+        ]
+    return e
+
+
+def import_t5(state, cfg, prefix: str = "") -> dict:
+    """HF T5EncoderModel / UMT5EncoderModel -> flax T5Encoder params."""
+    state = dict(state)
+    if prefix + "shared.weight" not in state:  # tied-embedding alias
+        alt = prefix + "encoder.embed_tokens.weight"
+        if alt in state:
+            state[prefix + "shared.weight"] = state[alt]
+    return _import(state, _t5_entries(cfg), prefix)
+
+
+def export_t5(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _t5_entries(cfg), prefix)
+
+
+def _llama_entries(cfg):
+    e = [
+        ("embed_tokens.weight", ("embed_tokens",), "raw", None),
+        ("norm", ("final_ln",), "ln", None),
+    ]
+    for i in range(cfg.layers):
+        b = f"layers.{i}"
+        st = (i, cfg.layers)
+        e += [
+            (f"{b}.self_attn.q_proj", ("layers", "q"), "linear", st),
+            (f"{b}.self_attn.k_proj", ("layers", "k"), "linear", st),
+            (f"{b}.self_attn.v_proj", ("layers", "v"), "linear", st),
+            (f"{b}.self_attn.o_proj", ("layers", "o"), "linear", st),
+            (f"{b}.input_layernorm", ("layers", "ln1"), "ln", st),
+            (f"{b}.post_attention_layernorm", ("layers", "ln2"), "ln", st),
+            (f"{b}.mlp.gate_proj", ("layers", "gate"), "linear", st),
+            (f"{b}.mlp.up_proj", ("layers", "up"), "linear", st),
+            (f"{b}.mlp.down_proj", ("layers", "down"), "linear", st),
+        ]
+    return e
+
+
+def import_llama(state, cfg, prefix: str = "model.") -> dict:
+    """HF LlamaModel/Qwen2Model (or their CausalLM) -> flax LlamaEncoder.
+
+    Pass prefix="" for a bare *Model state dict, "model." for *ForCausalLM.
+    """
+    if prefix + "embed_tokens.weight" not in state and \
+            "embed_tokens.weight" in state:
+        prefix = ""
+    return _import(state, _llama_entries(cfg), prefix)
+
+
+def export_llama(params, cfg, prefix: str = "model.") -> dict:
+    return _export(params, _llama_entries(cfg), prefix)
