@@ -130,3 +130,94 @@ def encode_prompt_hf(prompt: str, *, clip_l=None, clip_g=None, t5=None,
         h_t5 = run_t5(tokenizer_t5, t5, assemble_kw.pop("t5_length", 512))
         return flux_cond(h_t5, p_l, **assemble_kw)
     raise ValueError(f"unknown family {family!r}")
+
+
+# --------------------------------------------------------------------------
+# fully native pipeline: standalone tokenizers (tokenizers.py) + on-device
+# flax encoders (models/textenc.py) -> cond dict.  No torch, no host round
+# trips beyond the token ids themselves.
+
+
+class NativeEncoder:
+    """One text encoder = (flax params, config, tokenizer).
+
+    kind: "clip" (CLIPTextConfig), "t5" (T5Config), "llama" (LlamaConfig).
+    The apply function is jitted once per (kind, config) and reused across
+    prompts; ids are padded to fixed lengths so recompiles don't happen
+    per prompt.
+    """
+
+    def __init__(self, kind: str, params, cfg, tokenizer, clip_skip: int = 2):
+        import jax
+
+        from .models import textenc as TE
+
+        self.kind = kind
+        self.params = jax.device_put(params)
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.clip_skip = clip_skip
+        if kind == "clip":
+            self._fn = jax.jit(lambda p, i: TE.CLIPTextEncoder(cfg).apply(p, i))
+        elif kind == "t5":
+            self._fn = jax.jit(lambda p, i: TE.T5Encoder(cfg).apply(p, i))
+        elif kind == "llama":
+            self._fn = jax.jit(lambda p, i: TE.LlamaEncoder(cfg).apply(p, i))
+        else:
+            raise ValueError(kind)
+
+    def ids(self, prompt: str, length: Optional[int] = None) -> jnp.ndarray:
+        tok = self.tokenizer
+        if self.kind == "clip":
+            out = tok.encode(prompt)
+        else:
+            out = tok.encode(prompt, pad_to=length) if length else tok.encode(prompt)
+        return jnp.asarray(np.asarray(out, np.int32))[None]
+
+    def __call__(self, prompt: str, length: Optional[int] = None):
+        return self._fn(self.params, self.ids(prompt, length))
+
+
+def encode_prompt(prompt: str, *, family: str,
+                  clip_l: Optional[NativeEncoder] = None,
+                  clip_g: Optional[NativeEncoder] = None,
+                  t5: Optional[NativeEncoder] = None,
+                  llama: Optional[NativeEncoder] = None,
+                  t5_length: int = 512, **assemble_kw) -> Dict[str, Any]:
+    """Prompt string -> cond dict, entirely on-device.
+
+    Families mirror `encode_prompt_hf`: sd15 (clip_l), sdxl (clip_l+clip_g),
+    sd3 (clip_l+clip_g+t5), flux (clip_l+t5), qwen/wan (llama/t5),
+    hidream (t5+clip_l+llama).  CLIP hidden states use each encoder's
+    clip_skip (default 2 = penultimate, the hosts' convention).
+    """
+
+    def clip_out(enc):
+        hs, _last, pooled = enc(prompt)
+        return hs[enc.cfg.layers + 1 - enc.clip_skip], pooled
+
+    if family == "sd15":
+        h, _ = clip_out(clip_l)
+        return sd15_cond(h)
+    if family == "sdxl":
+        h_l, _ = clip_out(clip_l)
+        h_g, p_g = clip_out(clip_g)
+        return sdxl_cond(h_l, h_g, p_g, **assemble_kw)
+    if family == "sd3":
+        h_l, p_l = clip_out(clip_l)
+        h_g, p_g = clip_out(clip_g)
+        h_t5 = t5(prompt, assemble_kw.pop("sd3_t5_length", 154))
+        return sd3_cond(h_t5, h_l, h_g, p_l, p_g)
+    if family == "flux":
+        _, p_l = clip_out(clip_l)
+        return flux_cond(t5(prompt, t5_length), p_l, **assemble_kw)
+    if family == "wan":
+        return wan_cond(t5(prompt, t5_length))
+    if family == "qwen":
+        _hs, final = llama(prompt)
+        return qwen_cond(final)
+    if family == "hidream":
+        hs, _final = llama(prompt)
+        pooled = clip_out(clip_l)[1]
+        return hidream_cond(t5(prompt, t5_length), pooled, hs[1:])
+    raise ValueError(f"unknown family {family!r}")

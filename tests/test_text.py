@@ -71,3 +71,100 @@ def test_encode_prompt_hf_tiny_clip():
                               family="sd15", max_length=8)
     assert cond["context"].shape == (1, 8, 16)
     assert bool(jnp.all(jnp.isfinite(cond["context"])))
+
+
+# --------------------------------------------------------------------------
+# fully native pipeline: standalone tokenizer -> flax encoder -> cond dict
+
+
+def _tiny_clip_native(width=16, proj=0):
+    import jax
+
+    from lanpaint_tpu import tokenizers as tk
+    from lanpaint_tpu.models import textenc as TE
+
+    byte_enc = tk.bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(sorted(byte_enc.values()))}
+    for ch in sorted(byte_enc.values()):
+        vocab[ch + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    tok = tk.ClipBpeTokenizer(vocab, [], bos_token_id=vocab["<|startoftext|>"],
+                              eos_token_id=vocab["<|endoftext|>"])
+    cfg = TE.CLIPTextConfig(vocab_size=len(vocab), width=width, layers=2,
+                            heads=2, intermediate=32, projection_dim=proj,
+                            eos_token_id=vocab["<|endoftext|>"])
+    params = TE.CLIPTextEncoder(cfg).init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 77), jnp.int32))
+    return T.NativeEncoder("clip", params, cfg, tok)
+
+
+def _tiny_t5_native():
+    import jax
+
+    from lanpaint_tpu import tokenizers as tk
+    from lanpaint_tpu.models import textenc as TE
+
+    pieces = [("<pad>", 0.0), ("</s>", 0.0), ("<unk>", -10.0), ("▁", -3.0)]
+    pieces += [(f"▁{c}", -1.0) for c in "abcdefghijklmnopqrstuvwxyz"]
+    pieces += [(c, -2.0) for c in "abcdefghijklmnopqrstuvwxyz"]
+    tok = tk.UnigramTokenizer(pieces, unk_id=2, eos_token_id=1)
+    cfg = TE.T5Config(vocab_size=len(pieces), d_model=16, head_dim=4, d_ff=32,
+                      layers=2, heads=2, rel_buckets=8, rel_max_distance=16)
+    params = TE.T5Encoder(cfg).init(jax.random.PRNGKey(1),
+                                    jnp.zeros((1, 8), jnp.int32))
+    return T.NativeEncoder("t5", params, cfg, tok)
+
+
+def _tiny_llama_native():
+    import jax
+
+    from lanpaint_tpu import tokenizers as tk
+    from lanpaint_tpu.models import textenc as TE
+
+    byte_enc = tk.bytes_to_unicode()
+    vocab = {ch: i for i, ch in enumerate(sorted(byte_enc.values()))}
+    tok = tk.BpeTokenizer(vocab, [])
+    cfg = TE.LlamaConfig(vocab_size=len(vocab), dim=16, layers=2, heads=2,
+                         kv_heads=1, intermediate=32)
+    params = TE.LlamaEncoder(cfg).init(jax.random.PRNGKey(2),
+                                       jnp.zeros((1, 8), jnp.int32))
+    return T.NativeEncoder("llama", params, cfg, tok)
+
+
+def test_native_encode_prompt_families():
+    clip_l = _tiny_clip_native(width=8)
+    clip_g = _tiny_clip_native(width=8, proj=24)
+    t5 = _tiny_t5_native()
+    llama = _tiny_llama_native()
+
+    cond = T.encode_prompt("a cat", family="sd15", clip_l=clip_l)
+    assert cond["context"].shape == (1, 77, 8)
+
+    cond = T.encode_prompt("a cat", family="sdxl", clip_l=clip_l,
+                           clip_g=clip_g, height=64, width=64)
+    assert cond["context"].shape == (1, 77, 16)
+    assert cond["y"].shape[0] == 1
+
+    cond = T.encode_prompt("a cat", family="flux", clip_l=clip_g, t5=t5,
+                           t5_length=32, guidance=3.5)
+    assert cond["context"].shape == (1, 32, 16)
+    assert cond["vec"].shape == (1, 24)
+    assert cond["guidance"].shape == (1,)
+
+    cond = T.encode_prompt("a cat", family="wan", t5=t5, t5_length=16)
+    assert cond["context"].shape == (1, 16, 16)
+
+    cond = T.encode_prompt("a cat", family="qwen", llama=llama)
+    assert cond["context"].shape[0] == 1 and cond["context"].shape[2] == 16
+
+    cond = T.encode_prompt("a cat", family="hidream", clip_l=clip_g, t5=t5,
+                           llama=llama, t5_length=16)
+    assert cond["llama"].shape[0] == 2  # per-layer stack (layers, B, S, D)
+    assert cond["vec"].shape == (1, 24)
+
+    for text in ("a cat", "a very different prompt!"):
+        c = T.encode_prompt(text, family="sd3", clip_l=clip_l, clip_g=clip_g,
+                            t5=t5)
+        assert c["context"].shape == (1, 77 + 154, 16)
+        assert np.all(np.isfinite(np.asarray(c["context"], np.float32)))
