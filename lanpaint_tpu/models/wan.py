@@ -17,9 +17,10 @@ deployment is modeled by `SwitchingDenoiser` in models/base-level wrappers
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from .layers import MLPEmbedder, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
@@ -38,6 +39,11 @@ class WanConfig:
     axes_dim: Tuple[int, ...] = (44, 42, 42)  # (frame, y, x) RoPE split
     eps: float = 1e-6
     attention_impl: str = "auto"   # see layers.attention_bshd
+    # sequence parallelism: when set (e.g. "seq"), the model expects to run
+    # inside shard_map with the frame axis sharded over this mesh axis;
+    # self-attention becomes ring attention over ICI and RoPE frame ids are
+    # offset by the device's ring position (parallel/ring.py)
+    seq_axis: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -68,7 +74,12 @@ class WanSelfAttention(nn.Module):
         k = RMSNorm(d, name="norm_k")(k)
         q = apply_rope(q, pe)
         k = apply_rope(k, pe)
-        out = attention_bshd(q, k, v, impl=cfg.attention_impl)
+        if cfg.seq_axis is not None:
+            from ..parallel.ring import ring_attention
+
+            out = ring_attention(q, k, v, cfg.seq_axis)
+        else:
+            out = attention_bshd(q, k, v, impl=cfg.attention_impl)
         out = out.reshape(b, s, cfg.hidden)
         return nn.Dense(cfg.hidden, dtype=cfg.dtype, name="o")(out)
 
@@ -129,9 +140,13 @@ class _ScanWanBlock(nn.Module):
         return out.astype(tokens.dtype), None
 
 
-def video_ids(b, f, h, w) -> jnp.ndarray:
-    """(B, F*H*W, 3) position ids over (frame, y, x) token grid."""
-    fs = jnp.repeat(jnp.arange(f), h * w)
+def video_ids(b, f, h, w, frame_offset=0) -> jnp.ndarray:
+    """(B, F*H*W, 3) position ids over (frame, y, x) token grid.
+
+    frame_offset shifts the frame coordinate — under sequence parallelism
+    each device holds a contiguous local frame block and offsets by
+    axis_index * local_frames so RoPE sees global positions."""
+    fs = jnp.repeat(jnp.arange(f) + frame_offset, h * w)
     ys = jnp.tile(jnp.repeat(jnp.arange(h), w), f)
     xs = jnp.tile(jnp.arange(w), f * h)
     ids = jnp.stack([fs, ys, xs], axis=-1)
@@ -169,7 +184,11 @@ class WanModel(nn.Module):
                       name="time_projection")(nn.silu(te))
         e6 = e6.reshape(b, 6, cfg.hidden)
 
-        pe = rope_freqs(video_ids(b, gf, gh, gw), cfg.axes_dim)
+        offset = 0
+        if cfg.seq_axis is not None:
+            offset = jax.lax.axis_index(cfg.seq_axis) * gf
+        pe = rope_freqs(video_ids(b, gf, gh, gw, frame_offset=offset),
+                        cfg.axes_dim)
 
         # scan over depth: 40 identical blocks -> one XLA while-body.
         scan = nn.scan(

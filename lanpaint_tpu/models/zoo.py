@@ -467,3 +467,54 @@ def switching_denoiser(high: Denoiser, low: Denoiser, boundary: float = 0.875,
                     kind=high.kind, sigma_table=high.sigma_table,
                     is_flux=high.is_flux, name=name,
                     latent_channels=high.latent_channels)
+
+
+def build_wan_seq_parallel(
+    config: WanConfig,
+    params: Any,
+    mesh,
+    *,
+    shift: float = 5.0,
+    seq_axis: str = "seq",
+    name: str = "wan-sp",
+):
+    """Sequence-parallel Wan denoiser: the forward runs inside shard_map
+    with the latent frame axis sharded over `seq_axis` and self-attention
+    as ring attention over ICI (parallel/ring.py — the 81-frame path,
+    SURVEY.md section 5 long-context).
+
+    Weights are replicated across the mesh (the 5B expert fits one v5e
+    chip; the 14B pair wants tensor parallelism instead —
+    parallel.mesh.shard_params_tp — which composes with data, not seq,
+    sharding for now).  Latent batch rides the "data" axis.  The global
+    frame count must divide evenly over the seq axis.
+    """
+    import dataclasses as _dc
+    import functools as _ft
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sp_cfg = _dc.replace(config, seq_axis=seq_axis)
+    module = WanModel(sp_cfg)
+    params = jax.device_put(params, NamedSharding(mesh, P()))
+
+    spec_x = P("data", None, seq_axis, None, None)
+
+    @_ft.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(), spec_x, P("data"), P("data", None, None)),
+        out_specs=spec_x)
+    def fwd(p, x, t, ctx):
+        return module.apply(p, x, t, ctx)
+
+    def raw_apply(p, x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vel = fwd(p, x, t, ctx)
+        return x - tb * vel
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), name=name,
+                   latent_channels=config.in_channels)
+    return den, params

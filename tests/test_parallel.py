@@ -106,3 +106,89 @@ def test_tensor_parallel_wan_matches_replicated():
         got = jax.jit(den.raw_apply)(params_tp, x, t, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# ring attention / sequence parallelism (parallel/ring.py)
+
+
+def test_ring_attention_matches_full_attention():
+    from lanpaint_tpu.parallel.ring import seq_parallel_attention
+
+    mesh = make_mesh(MeshSpec(data=2, seq=4))
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((2, 32, 4, 16)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 32, 4, 16)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 32, 4, 16)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        out = seq_parallel_attention(mesh, q, k, v)
+        ref = jax.nn.dot_product_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ring_attention_custom_scale_and_uneven_heads():
+    from lanpaint_tpu.parallel.ring import seq_parallel_attention
+
+    mesh = make_mesh(MeshSpec(data=1, seq=8))
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((1, 64, 3, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 64, 3, 8)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 64, 3, 8)), jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        out = seq_parallel_attention(mesh, q, k, v, sm_scale=0.5)
+        ref = jax.nn.dot_product_attention(q, k, v, scale=0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_seq_parallel_wan_matches_single_device():
+    import dataclasses
+
+    from lanpaint_tpu.models import zoo
+    from lanpaint_tpu.models.wan import TINY_WAN_CONFIG
+
+    cfg = dataclasses.replace(TINY_WAN_CONFIG, dtype=jnp.float32)
+    den, params = zoo.build_wan(cfg, init_shape=(1, 8, 8, 8))
+    mesh = make_mesh(MeshSpec(data=2, seq=4))
+    den_sp, _ = zoo.build_wan_seq_parallel(cfg, params, mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 8)), jnp.float32)
+    t = jnp.full((2,), 0.7, jnp.float32)
+    cond = {"context": jnp.asarray(rng.standard_normal((2, 8, 32)), jnp.float32)}
+    with jax.default_matmul_precision("highest"):
+        ref = den.raw_apply(params, x, t, cond)
+        out = den_sp.raw_apply(den_sp.params, x, t, cond)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_seq_parallel_full_sampler_matches_single_device():
+    """The whole LanPaint program (outer scan + think loop) with the
+    ring-attention seq-parallel Wan backbone == single-device output."""
+    import dataclasses
+
+    from lanpaint_tpu.models import zoo
+    from lanpaint_tpu.models.wan import TINY_WAN_CONFIG
+
+    cfg = dataclasses.replace(TINY_WAN_CONFIG, dtype=jnp.float32)
+    den, params = zoo.build_wan(cfg, init_shape=(1, 8, 8, 8))
+    mesh = make_mesh(MeshSpec(data=1, seq=8))
+    den_sp, _ = zoo.build_wan_seq_parallel(cfg, params, mesh)
+
+    rng = np.random.default_rng(0)
+    latent = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 8)), jnp.float32)
+    mask = np.zeros((1, 4, 8, 8, 8), np.float32)
+    mask[..., 4:] = 1.0
+    cond = {"context": jnp.asarray(rng.standard_normal((1, 8, 32)), jnp.float32)}
+    sigmas = jnp.asarray([0.99, 0.6, 0.3, 0.0], jnp.float32)
+
+    outs = []
+    with jax.default_matmul_precision("highest"):
+        for d in (den, den_sp):
+            sam = LanPaintSampler(d, config=LanPaintConfig(n_steps=2),
+                                  sampler_name="euler", cfg=1.0)
+            out, _ = sam(latent=latent, sigmas=sigmas, cond=cond,
+                         mask=jnp.asarray(mask), seed=0)
+            outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=3e-4, atol=3e-4)
