@@ -36,13 +36,24 @@ def t_conv2d(w):
     return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
 
 
-def load_safetensors(path: str) -> Dict[str, np.ndarray]:
+def load_safetensors(path: str, native: bool = True) -> Dict[str, np.ndarray]:
     """Read a safetensors file into numpy, dequantizing fp8_scaled tensors.
 
     fp8_scaled layout: `<name>.weight` stored as float8_e4m3fn with a
     matching `<name>.scale_weight` fp32 scalar/tensor; dequantized weight =
     fp8.astype(f32) * scale.
+
+    Default path is the native reader (mmap + multithreaded C++ dtype
+    conversion, lanpaint_tpu/native/); the torch-based reader remains as
+    fallback and as the semantics reference.
     """
+    if native:
+        try:
+            from ..native.loader import load_safetensors_fast
+
+            return load_safetensors_fast(path)
+        except Exception:  # toolchain/format edge: fall through to torch
+            pass
     import torch
     from safetensors import safe_open
 

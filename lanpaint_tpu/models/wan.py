@@ -44,6 +44,12 @@ class WanConfig:
     # self-attention becomes ring attention over ICI and RoPE frame ids are
     # offset by the device's ring position (parallel/ring.py)
     seq_axis: Optional[str] = None
+    # tensor parallelism inside shard_map (Megatron-style): attention heads
+    # and ffn hidden are split tp_size-ways over the tp_axis mesh axis;
+    # row-parallel output projections psum over it (bias added post-psum).
+    # Composes with seq_axis: the 14B expert pair spans chips this way.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -59,17 +65,39 @@ TINY_WAN_CONFIG = WanConfig(in_channels=4, out_channels=4, hidden=64,
                             axes_dim=(8, 4, 4))
 
 
+class _RowDense(nn.Module):
+    """Row-parallel Dense: input dim is tp-sharded; partial products psum
+    over tp_axis, bias added once after the reduce.  Param tree identical to
+    nn.Dense (kernel + bias) so checkpoint mapping is unchanged."""
+
+    features: int
+    tp_axis: Optional[str]
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        y = x @ kernel.astype(self.dtype)
+        if self.tp_axis is not None:
+            y = jax.lax.psum(y, self.tp_axis)
+        return y + bias.astype(self.dtype)
+
+
 class WanSelfAttention(nn.Module):
     cfg: WanConfig
 
     @nn.compact
     def __call__(self, x, pe):
         cfg = self.cfg
-        h, d = cfg.num_heads, cfg.head_dim
+        h, d = cfg.num_heads // cfg.tp_size, cfg.head_dim
+        inner = cfg.hidden // cfg.tp_size
         b, s, _ = x.shape
-        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
-        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="k")(x).reshape(b, s, h, d)
-        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="v")(x).reshape(b, s, h, d)
+        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
+        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(x).reshape(b, s, h, d)
+        v = nn.Dense(inner, dtype=cfg.dtype, name="v")(x).reshape(b, s, h, d)
         q = RMSNorm(d, name="norm_q")(q)
         k = RMSNorm(d, name="norm_k")(k)
         q = apply_rope(q, pe)
@@ -80,8 +108,8 @@ class WanSelfAttention(nn.Module):
             out = ring_attention(q, k, v, cfg.seq_axis)
         else:
             out = attention_bshd(q, k, v, impl=cfg.attention_impl)
-        out = out.reshape(b, s, cfg.hidden)
-        return nn.Dense(cfg.hidden, dtype=cfg.dtype, name="o")(out)
+        out = out.reshape(b, s, inner)
+        return _RowDense(cfg.hidden, cfg.tp_axis, cfg.dtype, name="o")(out)
 
 
 class WanCrossAttention(nn.Module):
@@ -90,17 +118,18 @@ class WanCrossAttention(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         cfg = self.cfg
-        h, d = cfg.num_heads, cfg.head_dim
+        h, d = cfg.num_heads // cfg.tp_size, cfg.head_dim
+        inner = cfg.hidden // cfg.tp_size
         b, s, _ = x.shape
         sk = context.shape[1]
-        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
-        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="k")(context).reshape(b, sk, h, d)
-        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="v")(context).reshape(b, sk, h, d)
+        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
+        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context).reshape(b, sk, h, d)
+        v = nn.Dense(inner, dtype=cfg.dtype, name="v")(context).reshape(b, sk, h, d)
         q = RMSNorm(d, name="norm_q")(q)
         k = RMSNorm(d, name="norm_k")(k)
         out = attention_bshd(q, k, v, impl=cfg.attention_impl)
-        out = out.reshape(b, s, cfg.hidden)
-        return nn.Dense(cfg.hidden, dtype=cfg.dtype, name="o")(out)
+        out = out.reshape(b, s, inner)
+        return _RowDense(cfg.hidden, cfg.tp_axis, cfg.dtype, name="o")(out)
 
 
 class WanBlock(nn.Module):
@@ -123,9 +152,9 @@ class WanBlock(nn.Module):
         xn = nn.LayerNorm(epsilon=cfg.eps, dtype=jnp.float32, name="norm3")(x)
         x = x + WanCrossAttention(cfg, name="cross_attn")(xn.astype(cfg.dtype), context)
         xn = ln("norm2")(x) * (1 + sc2) + sh2
-        ff = nn.gelu(nn.Dense(cfg.ffn_dim, dtype=cfg.dtype,
+        ff = nn.gelu(nn.Dense(cfg.ffn_dim // cfg.tp_size, dtype=cfg.dtype,
                               name="ffn_0")(xn.astype(cfg.dtype)), approximate=True)
-        ff = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="ffn_2")(ff)
+        ff = _RowDense(cfg.hidden, cfg.tp_axis, cfg.dtype, name="ffn_2")(ff)
         return x + g2 * ff
 
 

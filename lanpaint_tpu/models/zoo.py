@@ -476,6 +476,7 @@ def build_wan_seq_parallel(
     *,
     shift: float = 5.0,
     seq_axis: str = "seq",
+    tp_axis: str = None,
     name: str = "wan-sp",
 ):
     """Sequence-parallel Wan denoiser: the forward runs inside shard_map
@@ -494,15 +495,26 @@ def build_wan_seq_parallel(
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    sp_cfg = _dc.replace(config, seq_axis=seq_axis)
+    tp_size = mesh.shape[tp_axis] if tp_axis else 1
+    sp_cfg = _dc.replace(config, seq_axis=seq_axis,
+                         tp_axis=tp_axis, tp_size=tp_size)
     module = WanModel(sp_cfg)
-    params = jax.device_put(params, NamedSharding(mesh, P()))
+    if tp_axis:
+        from ..parallel.mesh import wan_tp_param_specs
+
+        pspecs = wan_tp_param_specs(params)
+        params = jax.tree.map(
+            lambda v, sp: jax.device_put(v, NamedSharding(mesh, sp)),
+            params, pspecs)
+    else:
+        pspecs = P()
+        params = jax.device_put(params, NamedSharding(mesh, P()))
 
     spec_x = P("data", None, seq_axis, None, None)
 
     @_ft.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), spec_x, P("data"), P("data", None, None)),
+        in_specs=(pspecs, spec_x, P("data"), P("data", None, None)),
         out_specs=spec_x)
     def fwd(p, x, t, ctx):
         return module.apply(p, x, t, ctx)

@@ -170,3 +170,28 @@ def with_data_parallel(sampler_call, mesh: Mesh):
         return sampler_call(**out)
 
     return call
+
+
+def wan_tp_param_specs(params):
+    """PartitionSpec pytree for shard_map-manual tensor parallelism of the
+    Wan DiT (models/wan.py tp_axis mode): column-parallel q/k/v/ffn_0 shard
+    kernel AND bias on the feature dim; row-parallel o/ffn_2 shard the
+    kernel input dim and replicate the bias (added post-psum inside
+    _RowDense).  Scanned block weights carry depth as axis 0."""
+
+    def leaf(path, p):
+        name = "/".join(k.key if hasattr(k, "key") else str(k) for k in path)
+        col = any(f"{a}/{w}/" in name
+                  for a in ("self_attn", "cross_attn") for w in "qkv")
+        col = col or "ffn_0/" in name
+        row = any(f"{a}/o/kernel" in name for a in ("self_attn", "cross_attn"))
+        row = row or "ffn_2/kernel" in name
+        if col:
+            spec = [None] * (p.ndim - 1) + ["tensor"]
+        elif row:
+            spec = [None] * (p.ndim - 2) + ["tensor", None]
+        else:
+            spec = [None] * p.ndim
+        return P(*spec)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
