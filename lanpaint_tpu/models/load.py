@@ -770,3 +770,83 @@ def import_llama(state, cfg, prefix: str = "model.") -> dict:
 
 def export_llama(params, cfg, prefix: str = "model.") -> dict:
     return _export(params, _llama_entries(cfg), prefix)
+
+
+def import_clip_openclip(state, cfg, prefix: str = "") -> dict:
+    """OpenCLIP text-tower layout -> flax CLIPTextEncoder params.
+
+    This is the layout embedded in single-file SD2.x/SDXL checkpoints
+    (`conditioner.embedders.1.model.*`): fused `attn.in_proj_weight/bias`,
+    `transformer.resblocks.{i}.*`, `ln_final`, `positional_embedding`, and a
+    `text_projection` stored ALREADY as (width, projection_dim) — used as
+    `x @ proj`, unlike torch Linear.
+    """
+    tb = _TreeBuilder()
+
+    def put(p, v, stack=None):
+        if stack is None:
+            tb.set(p, v)
+        else:
+            tb.set_stacked(p, stack[0], stack[1], v)
+
+    g = lambda k: state[prefix + k]
+    put(("token_embedding",), g("token_embedding.weight"))
+    put(("position_embedding",), g("positional_embedding"))
+    put(("final_ln", "scale"), g("ln_final.weight"))
+    put(("final_ln", "bias"), g("ln_final.bias"))
+    if cfg.projection_dim:
+        tp = g("text_projection")
+        if tp.shape[0] == cfg.projection_dim and tp.shape[0] != tp.shape[1]:
+            tp = tp.T  # tolerate transposed exports
+        put(("text_projection",), tp)
+    w = cfg.width
+    for i in range(cfg.layers):
+        b = f"transformer.resblocks.{i}."
+        st = (i, cfg.layers)
+        inw = g(b + "attn.in_proj_weight")  # (3w, w) torch layout
+        inb = g(b + "attn.in_proj_bias")
+        for j, nm in enumerate(("q", "k", "v")):
+            put(("layers", nm, "kernel"), t_linear(inw[j * w:(j + 1) * w]), st)
+            put(("layers", nm, "bias"), inb[j * w:(j + 1) * w], st)
+        put(("layers", "out", "kernel"), t_linear(g(b + "attn.out_proj.weight")), st)
+        put(("layers", "out", "bias"), g(b + "attn.out_proj.bias"), st)
+        for src, dst in (("ln_1", "ln1"), ("ln_2", "ln2")):
+            put(("layers", dst, "scale"), g(f"{b}{src}.weight"), st)
+            put(("layers", dst, "bias"), g(f"{b}{src}.bias"), st)
+        for src, dst in (("mlp.c_fc", "fc1"), ("mlp.c_proj", "fc2")):
+            put(("layers", dst, "kernel"), t_linear(g(f"{b}{src}.weight")), st)
+            put(("layers", dst, "bias"), g(f"{b}{src}.bias"), st)
+    return tb.build()
+
+
+# single-file checkpoint splitting (the layout every reference workflow's
+# CheckpointLoaderSimple consumes: UNet + CLIP(s) + VAE in one safetensors)
+
+_SINGLE_FILE_PREFIXES = {
+    "unet": ("model.diffusion_model.",),
+    "vae": ("first_stage_model.", "vae."),
+    # SDXL dual text encoders / SD1.x single
+    "clip_l": ("conditioner.embedders.0.transformer.",
+               "cond_stage_model.transformer.",
+               "text_encoders.clip_l.transformer."),
+    "clip_g": ("conditioner.embedders.1.model.",
+               "text_encoders.clip_g.transformer.",
+               "conditioner.embedders.0.model."),
+    "t5": ("text_encoders.t5xxl.transformer.",),
+}
+
+
+def split_checkpoint(state) -> Dict[str, Dict[str, "np.ndarray"]]:
+    """Split a single-file SD/SDXL/SD3-style state dict into component
+    sub-dicts keyed by component name, with prefixes stripped.  Components
+    absent from the file are omitted.  The clip_g sub-dict is OpenCLIP
+    layout when it came from `conditioner.embedders.*.model.` (single-file
+    SDXL) and HF layout when from `text_encoders.*` (SD3-style)."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for comp, prefixes in _SINGLE_FILE_PREFIXES.items():
+        for p in prefixes:
+            sub = {k[len(p):]: v for k, v in state.items() if k.startswith(p)}
+            if sub:
+                out.setdefault(comp, sub)
+                break
+    return out

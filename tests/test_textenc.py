@@ -230,3 +230,83 @@ def test_llama_roundtrip():
     again = L.import_llama(L.export_llama(params, cfg), cfg)
     assert jax.tree.all(jax.tree.map(
         lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), params, again))
+
+
+# --------------------------------------------------------------------------
+# OpenCLIP layout (single-file SD2.x/SDXL checkpoints) + checkpoint split
+
+
+def _hf_to_openclip(sd, layers, width):
+    """Convert an HF CLIPTextModelWithProjection state dict into the
+    OpenCLIP text-tower layout embedded in single-file checkpoints."""
+    out = {
+        "token_embedding.weight": sd["text_model.embeddings.token_embedding.weight"],
+        "positional_embedding": sd["text_model.embeddings.position_embedding.weight"],
+        "ln_final.weight": sd["text_model.final_layer_norm.weight"],
+        "ln_final.bias": sd["text_model.final_layer_norm.bias"],
+        # OpenCLIP stores text_projection as (width, proj) used as x @ proj
+        "text_projection": sd["text_projection.weight"].T,
+    }
+    for i in range(layers):
+        hf = f"text_model.encoder.layers.{i}."
+        oc = f"transformer.resblocks.{i}."
+        out[oc + "attn.in_proj_weight"] = np.concatenate(
+            [sd[hf + f"self_attn.{n}_proj.weight"] for n in "qkv"], axis=0)
+        out[oc + "attn.in_proj_bias"] = np.concatenate(
+            [sd[hf + f"self_attn.{n}_proj.bias"] for n in "qkv"], axis=0)
+        out[oc + "attn.out_proj.weight"] = sd[hf + "self_attn.out_proj.weight"]
+        out[oc + "attn.out_proj.bias"] = sd[hf + "self_attn.out_proj.bias"]
+        out[oc + "ln_1.weight"] = sd[hf + "layer_norm1.weight"]
+        out[oc + "ln_1.bias"] = sd[hf + "layer_norm1.bias"]
+        out[oc + "ln_2.weight"] = sd[hf + "layer_norm2.weight"]
+        out[oc + "ln_2.bias"] = sd[hf + "layer_norm2.bias"]
+        out[oc + "mlp.c_fc.weight"] = sd[hf + "mlp.fc1.weight"]
+        out[oc + "mlp.c_fc.bias"] = sd[hf + "mlp.fc1.bias"]
+        out[oc + "mlp.c_proj.weight"] = sd[hf + "mlp.fc2.weight"]
+        out[oc + "mlp.c_proj.bias"] = sd[hf + "mlp.fc2.bias"]
+    return out
+
+
+def test_openclip_layout_import_matches_hf_import():
+    torch.manual_seed(0)
+    hf_cfg, cfg = _tiny_clip_cfgs(act="gelu")
+    hf = transformers.CLIPTextModelWithProjection(hf_cfg).eval()
+    sd = _np_state(hf)
+    p_hf = L.import_clip(sd, cfg)
+    p_oc = L.import_clip_openclip(_hf_to_openclip(sd, cfg.layers, cfg.width), cfg)
+    import jax
+
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), p_hf, p_oc))
+    ids = jnp.asarray(_ids(np.random.default_rng(7), 100, eos=3))
+    hs_a, ln_a, po_a = TE.CLIPTextEncoder(cfg).apply(p_hf, ids)
+    hs_b, ln_b, po_b = TE.CLIPTextEncoder(cfg).apply(p_oc, ids)
+    np.testing.assert_array_equal(np.asarray(po_a), np.asarray(po_b))
+
+
+def test_split_checkpoint_sdxl_single_file():
+    state = {
+        "model.diffusion_model.input_blocks.0.0.weight": np.zeros(1),
+        "first_stage_model.encoder.conv_in.weight": np.zeros(2),
+        "conditioner.embedders.0.transformer.text_model.final_layer_norm.weight": np.zeros(3),
+        "conditioner.embedders.1.model.ln_final.weight": np.zeros(4),
+        "unrelated.key": np.zeros(5),
+    }
+    comps = L.split_checkpoint(state)
+    assert set(comps) == {"unet", "vae", "clip_l", "clip_g"}
+    assert "input_blocks.0.0.weight" in comps["unet"]
+    assert "text_model.final_layer_norm.weight" in comps["clip_l"]
+    assert "ln_final.weight" in comps["clip_g"]
+
+
+def test_split_checkpoint_sd3_style():
+    state = {
+        "model.diffusion_model.x_embedder.proj.weight": np.zeros(1),
+        "text_encoders.clip_l.transformer.text_model.final_layer_norm.weight": np.zeros(2),
+        "text_encoders.clip_g.transformer.text_model.final_layer_norm.weight": np.zeros(3),
+        "text_encoders.t5xxl.transformer.shared.weight": np.zeros(4),
+        "vae.decoder.conv_in.weight": np.zeros(5),
+    }
+    comps = L.split_checkpoint(state)
+    assert set(comps) == {"unet", "vae", "clip_l", "clip_g", "t5"}
+    assert "shared.weight" in comps["t5"]
