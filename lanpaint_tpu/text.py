@@ -138,6 +138,13 @@ def encode_prompt_hf(prompt: str, *, clip_l=None, clip_g=None, t5=None,
 # trips beyond the token ids themselves.
 
 
+QWEN_IMAGE_TEMPLATE = (
+    "<|im_start|>system\nDescribe the image by detailing the color, shape, "
+    "size, texture, quantity, text, spatial relationships of the objects "
+    "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
+    "<|im_start|>assistant\n")
+
+
 class NativeEncoder:
     """One text encoder = (flax params, config, tokenizer).
 
@@ -214,8 +221,14 @@ def encode_prompt(prompt: str, *, family: str,
     if family == "wan":
         return wan_cond(t5(prompt, t5_length))
     if family == "qwen":
-        _hs, final = llama(prompt)
-        return qwen_cond(final)
+        # Qwen-Image convention (public diffusers QwenImagePipeline): the
+        # prompt is wrapped in a vision-describe chat template and the
+        # template-prefix hidden states are dropped before conditioning.
+        tpl = assemble_kw.pop("template", QWEN_IMAGE_TEMPLATE)
+        drop = assemble_kw.pop("drop_prefix_tokens",
+                               34 if tpl is QWEN_IMAGE_TEMPLATE else 0)
+        _hs, final = llama(tpl.format(prompt) if tpl else prompt)
+        return qwen_cond(final[:, drop:])
     if family == "hidream":
         hs, _final = llama(prompt)
         pooled = clip_out(clip_l)[1]

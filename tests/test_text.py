@@ -168,3 +168,16 @@ def test_native_encode_prompt_families():
                             t5=t5)
         assert c["context"].shape == (1, 77 + 154, 16)
         assert np.all(np.isfinite(np.asarray(c["context"], np.float32)))
+
+
+def test_qwen_template_prefix_drop():
+    llama = _tiny_llama_native()
+    # default template: prefix hidden states dropped
+    c_tpl = T.encode_prompt("a cat", family="qwen", llama=llama)
+    c_raw = T.encode_prompt("a cat", family="qwen", llama=llama,
+                            template=None)
+    assert c_tpl["context"].shape[1] < c_raw["context"].shape[1] + 300
+    # explicit template + custom drop
+    c = T.encode_prompt("a cat", family="qwen", llama=llama,
+                        template="XX{}", drop_prefix_tokens=2)
+    assert c["context"].shape[1] == c_raw["context"].shape[1]
