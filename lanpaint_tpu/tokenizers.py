@@ -25,7 +25,7 @@ from __future__ import annotations
 import functools
 import json
 import unicodedata
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 try:  # \p{L}/\p{N} classes need the third-party regex module
     import regex as _re
