@@ -16,6 +16,7 @@ from .api import (  # noqa: F401
     sample_custom_advanced,
 )
 from .config import LanPaintConfig, ModelKind  # noqa: F401
+from .pipeline import LanPaintPipeline  # noqa: F401
 from .masks import mask_blend, prepare_mask, reshape_mask  # noqa: F401
 from .models.base import (  # noqa: F401
     Denoiser,
