@@ -270,3 +270,38 @@ def test_lora_end_to_end_changes_forward():
     y0 = module.apply(params, x, jnp.full((1,), 10.0), ctx, None)
     y1 = module.apply(merged, x, jnp.full((1,), 10.0), ctx, None)
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+@pytest.mark.parametrize("family", ["flux2", "hunyuan", "qwen", "zimage"])
+def test_dit_roundtrip_structural_variants(family):
+    """Tiny-ified clones of the config-level families (Flux.2 / Hunyuan /
+    Qwen / Z-Image): the entry tables must cover every structural variation
+    (guidance_embed on/off, vec_dim zero/nonzero, asymmetric depths)."""
+    import dataclasses
+
+    from lanpaint_tpu.models.dit import (
+        FLUX2_DEV_CONFIG, HUNYUAN_IMAGE_CONFIG, QWEN_IMAGE_CONFIG,
+        Z_IMAGE_CONFIG,
+    )
+
+    base = {"flux2": FLUX2_DEV_CONFIG, "hunyuan": HUNYUAN_IMAGE_CONFIG,
+            "qwen": QWEN_IMAGE_CONFIG, "zimage": Z_IMAGE_CONFIG}[family]
+    cfg = dataclasses.replace(
+        base, hidden=64, num_heads=4, depth_double=2, depth_single=3,
+        context_dim=32, vec_dim=(16 if base.vec_dim else 0),
+        axes_dim=(4, 6, 6))  # sum == head_dim (64/4)
+    module = MMDiT(cfg)
+    args = [jnp.zeros((1, cfg.latent_channels, 16, 16)), jnp.full((1,), 0.5),
+            jnp.zeros((1, 8, cfg.context_dim))]
+    args.append(jnp.zeros((1, cfg.vec_dim)) if cfg.vec_dim else None)
+    kw = {"guidance": jnp.full((1,), 3.0)} if cfg.guidance_embed else {}
+    params = module.init(jax.random.PRNGKey(0), *args, **kw)
+    state = L.export_dit(params, cfg)
+    if cfg.guidance_embed:
+        assert "guidance_in.in_layer.weight" in state
+    else:
+        assert "guidance_in.in_layer.weight" not in state
+    if cfg.vec_dim:
+        assert "vector_in.in_layer.weight" in state
+    back = L.import_dit(state, cfg)
+    _tree_eq(params["params"], back["params"])
