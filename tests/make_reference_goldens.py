@@ -1,0 +1,211 @@
+"""Generate golden records by driving the ACTUAL reference implementation.
+
+Runs the reference LanPaint engine (scraed/LanPaint, mounted read-only at
+/root/reference) on torch-CPU with a deterministic dummy denoiser and
+*patched RNG*: every stochastic draw (`torch.randn_like` for the stationary
+velocity init, utils.py:254, and the MultivariateNormal position/velocity
+sample, utils.py:295-298) is replaced by a recorded standard-normal array.
+The recorded draws, inputs, and outputs are written to
+tests/data/reference_goldens.npz; tests/test_reference_golden.py replays the
+same draws through `lanpaint_tpu.engine.lanpaint_update(noise_feed=...)` and
+requires the refined latent and blended x0 to match step-for-step.
+
+This is the sanctioned seed-for-seed parity mechanism (docs/rng.md): the
+reference consumes torch *global* RNG, so cross-framework parity is only
+possible by replaying identical draws.  The fake MultivariateNormal applies
+exactly the reference's own sampling law `loc + scale_tril @ eps` with the
+reference-computed loc/scale_tril (utils.py:268-300) — nothing is reimplemented
+on the torch side.
+
+Usage:  python tests/make_reference_goldens.py
+(Only needed to regenerate tests/data/reference_goldens.npz; the committed
+file is what CI consumes.)
+"""
+
+import importlib
+import sys
+import types
+
+import numpy as np
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def import_reference():
+    """Import the reference's src/LanPaint as a package without touching it."""
+    pkg = types.ModuleType("ref_lanpaint_pkg")
+    pkg.__path__ = [REFERENCE_ROOT + "/src/LanPaint"]
+    sys.modules["ref_lanpaint_pkg"] = pkg
+    return importlib.import_module("ref_lanpaint_pkg.lanpaint")
+
+
+class DrawRecorder:
+    """Deterministic stand-in for torch's stochastic draws, with a log."""
+
+    def __init__(self, torch, seed):
+        self.torch = torch
+        self.rng = np.random.default_rng(seed)
+        self.log = []  # list of (tag, np.ndarray fp32)
+
+    def normal(self, shape, tag):
+        a = self.rng.standard_normal(shape).astype(np.float32)
+        self.log.append((tag, a))
+        return self.torch.from_numpy(a)
+
+    def fake_randn_like(self, t):
+        return self.normal(tuple(t.shape), "randn").to(t.dtype)
+
+    def make_fake_mvn(self):
+        recorder = self
+
+        class FakeMVN:
+            """loc + scale_tril @ eps — exactly MultivariateNormal.sample's law."""
+
+            def __init__(self, loc, scale_tril):
+                self.loc = loc
+                self.scale_tril = scale_tril
+
+            def sample(self):
+                eps = recorder.normal(tuple(self.loc.shape), "mvn")
+                eps = eps.to(self.loc.dtype)
+                t = recorder.torch
+                return self.loc + t.einsum("...ij,...j->...i", self.scale_tril, eps)
+
+        return FakeMVN
+
+
+def unified_times(sigma_native, kind):
+    """(VE_Sigma, abt, Flow_t) float32, same formulas both frameworks use."""
+    s = sigma_native.astype(np.float32)
+    if kind == "flow":
+        t = s
+        one_m_t = np.float32(1.0) - t
+        abt = one_m_t**2 / (one_m_t**2 + t**2)
+        ve = t / one_m_t
+        return ve, abt, t
+    abt = np.float32(1.0) / (np.float32(1.0) + s**2)
+    sq = np.sqrt(np.float32(1.0) - abt)
+    return s, abt, sq / (sq + np.sqrt(abt))
+
+
+def make_dummy_model(torch, g, kind):
+    """x0 = 0.4*x + g ; x0_BIG = 0.55*x - 0.5*g — linear, fp32-exact."""
+    g_t = torch.from_numpy(g)
+
+    class _Sampling:
+        @staticmethod
+        def noise_scaling(sigma, noise, latent_image):
+            if kind == "flow":
+                return sigma * noise + (1.0 - sigma) * latent_image
+            return latent_image + noise * sigma
+
+    class _Inner:
+        model_sampling = _Sampling()
+
+    class Model:
+        inner_model = _Inner()
+
+        def __call__(self, x, t, model_options=None, seed=None):
+            return (0.4 * x + g_t, 0.55 * x - 0.5 * g_t)
+
+    return Model()
+
+
+def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
+             lamb=16.0, step_size=0.2, beta=1.0, friction=15.0, data_seed=0):
+    rng = np.random.default_rng(data_seed)
+    b = shape[0]
+    x = rng.standard_normal(shape).astype(np.float32)
+    latent = (0.3 * rng.standard_normal(shape)).astype(np.float32)
+    noise = rng.standard_normal(shape).astype(np.float32)
+    # irregular known-region mask (1 = known), ~60% known
+    mask = (rng.random(shape[2:]) < 0.6).astype(np.float32)
+    mask = np.broadcast_to(mask, shape).copy()
+    g = (0.2 * rng.standard_normal(shape)).astype(np.float32)
+
+    sigma_native = np.asarray(sigma_native, np.float32).reshape(b)
+    ve, abt, tflow = unified_times(sigma_native, kind)
+
+    model = make_dummy_model(torch, g, kind)
+    lp = lanpaint_mod.LanPaint(
+        model, NSteps=n_steps, Friction=friction, Lambda=lamb, Beta=beta,
+        StepSize=step_size, IS_FLUX=False, IS_FLOW=(kind == "flow"),
+    )
+
+    rec = DrawRecorder(torch, data_seed + 1000)
+    saved_randn = torch.randn_like
+    saved_mvn = torch.distributions.MultivariateNormal
+    try:
+        torch.randn_like = rec.fake_randn_like
+        torch.distributions.MultivariateNormal = rec.make_fake_mvn()
+        x_in = torch.from_numpy(x.copy())
+        out = lp(
+            x_in,
+            torch.from_numpy(latent),
+            torch.from_numpy(noise),
+            torch.from_numpy(sigma_native),
+            torch.from_numpy(mask),
+            (torch.from_numpy(ve), torch.from_numpy(abt), torch.from_numpy(tflow)),
+            {},  # model_options
+            0,   # seed
+            n_steps,
+        )
+    finally:
+        torch.randn_like = saved_randn
+        torch.distributions.MultivariateNormal = saved_mvn
+
+    tags = [t for t, _ in rec.log]
+    expected = [] if n_steps == 0 else (["randn", "mvn"] + ["mvn", "mvn"] * (n_steps - 1))
+    if tags != expected:
+        raise RuntimeError(
+            f"{name}: unexpected draw sequence {tags} (expected {expected}) — "
+            "the reference hit the overdamped fallback or changed structure")
+
+    arrays = {
+        "x": x, "latent": latent, "noise": noise, "mask": mask, "g": g,
+        "sigma_native": sigma_native, "ve": ve, "abt": abt, "tflow": tflow,
+        "out": out.numpy().astype(np.float32),
+        "x_refined": x_in.numpy().astype(np.float32),  # in-place writeback
+        "meta": np.array([n_steps, lamb, step_size, beta, friction], np.float32),
+        "kind": np.array(1 if kind == "flow" else 0, np.int32),
+    }
+    for j, (_, a) in enumerate(rec.log):
+        arrays[f"draw{j}"] = a
+    arrays["n_draws"] = np.array(len(rec.log), np.int32)
+    return {f"{name}/{k}": v for k, v in arrays.items()}
+
+
+def main():
+    lanpaint_mod = import_reference()
+    import torch
+
+    torch.set_num_threads(1)
+    cases = {}
+    cases.update(run_case(lanpaint_mod, torch, "eps_n3", "eps",
+                          [1.2], 3, (1, 4, 8, 8), data_seed=0))
+    cases.update(run_case(lanpaint_mod, torch, "eps_n1", "eps",
+                          [0.35], 1, (1, 4, 8, 8), data_seed=1))
+    cases.update(run_case(lanpaint_mod, torch, "eps_n0", "eps",
+                          [2.5], 0, (1, 4, 8, 8), data_seed=2))
+    cases.update(run_case(lanpaint_mod, torch, "eps_b2", "eps",
+                          [1.2, 0.5], 3, (2, 4, 6, 6), data_seed=3))
+    cases.update(run_case(lanpaint_mod, torch, "flow_n3", "flow",
+                          [0.6], 3, (1, 4, 8, 8), data_seed=4))
+    cases.update(run_case(lanpaint_mod, torch, "flow_n2_video", "flow",
+                          [0.8], 2, (1, 4, 3, 6, 6), data_seed=5))
+    cases.update(run_case(lanpaint_mod, torch, "eps_params", "eps",
+                          [0.9], 2, (1, 4, 8, 8),
+                          lamb=4.0, step_size=0.5, beta=2.0, friction=6.0,
+                          data_seed=6))
+
+    import os
+
+    out_path = os.path.join(os.path.dirname(__file__), "data", "reference_goldens.npz")
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez_compressed(out_path, **cases)
+    print(f"wrote {out_path}: {len(cases)} arrays, "
+          f"{sum(v.nbytes for v in cases.values()) / 1e6:.2f} MB raw")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,136 @@
+"""Seed-for-seed parity vs the ACTUAL reference implementation.
+
+tests/data/reference_goldens.npz holds inputs, every RNG draw (in consumption
+order), and outputs recorded from the reference LanPaint engine
+(scraed/LanPaint src/LanPaint/lanpaint.py + utils.py) running on torch-CPU
+with a deterministic linear denoiser — see tests/make_reference_goldens.py.
+
+Here the identical draws are replayed through our engine's `noise_feed`
+parity mode (docs/rng.md draw-order contract: per inner step
+[eps_y1, eps_v1, eps_y2, eps_v2, v_stat]; the reference's order is
+[v0-randn, mvn(y,v)] on the cold step and [mvn1(y,v), mvn2(y,v)] on warm
+steps) and both the refined latent (the reference's in-place `input_x.copy_`,
+lanpaint.py:122) and the blended x0 output must match to fp32 tolerance.
+
+This covers, against the reference's own code: the replace step, VE/flow<->VP
+coordinate changes, region-mixed step-size/friction/A/D parameterization
+(lanpaint.py:255-288), bidirectional score (lanpaint.py:125-141), the
+half-step -> kick -> half-step Strang splitting with old-C half-steps
+(lanpaint.py:211-225), the SHO transition coefficients incl. the manual
+2x2 Cholesky with its 1e-8 clamps (utils.py:268-300), the stationary
+velocity init (utils.py:253-254), n_steps=0 dispatch, video 5D latents, and
+non-default (lambda, step_size, beta, friction).
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lanpaint_tpu.config import LanPaintConfig, ModelKind
+from lanpaint_tpu.engine import lanpaint_update
+from lanpaint_tpu.schedule import Times
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "reference_goldens.npz")
+
+CASES = ["eps_n3", "eps_n1", "eps_n0", "eps_b2", "flow_n3",
+         "flow_n2_video", "eps_params"]
+
+
+@pytest.fixture(scope="module")
+def goldens():
+    return np.load(DATA)
+
+
+def build_noise_feed(z, name, n_steps, shape):
+    """Map the reference's recorded draw sequence onto the engine's
+    (n_max, 5, *shape) feed: slots [eps_y1, eps_v1, eps_y2, eps_v2, v_stat]."""
+    n_max = max(n_steps, 1)
+    feed = np.zeros((n_max, 5) + shape, np.float32)
+    if n_steps == 0:
+        return feed
+    draws = [z[f"{name}/draw{j}"] for j in range(int(z[f"{name}/n_draws"]))]
+    # cold step: [v0-randn, mvn]; mvn eps shape (*shape, 2) -> (y, v)
+    feed[0, 4] = draws[0]
+    feed[0, 0] = draws[1][..., 0]
+    feed[0, 1] = draws[1][..., 1]
+    k = 2
+    for j in range(1, n_steps):
+        feed[j, 0] = draws[k][..., 0]
+        feed[j, 1] = draws[k][..., 1]
+        feed[j, 2] = draws[k + 1][..., 0]
+        feed[j, 3] = draws[k + 1][..., 1]
+        k += 2
+    assert k == len(draws)
+    return feed
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_reference_parity(goldens, name):
+    z = goldens
+    n_steps, lamb, step_size, beta, friction = (
+        float(v) for v in z[f"{name}/meta"])
+    n_steps = int(n_steps)
+    kind = ModelKind.FLOW if int(z[f"{name}/kind"]) else ModelKind.EPS
+    x = z[f"{name}/x"]
+    g = jnp.asarray(z[f"{name}/g"])
+
+    def denoiser(xm, t):
+        return 0.4 * xm + g, 0.55 * xm - 0.5 * g
+
+    times = Times(
+        ve_sigma=jnp.asarray(z[f"{name}/ve"]),
+        abt=jnp.asarray(z[f"{name}/abt"]),
+        flow_t=jnp.asarray(z[f"{name}/tflow"]),
+    )
+    config = LanPaintConfig(
+        n_steps=max(n_steps, 1), lamb=lamb, step_size=step_size, beta=beta,
+        friction=friction)
+    feed = build_noise_feed(z, name, n_steps, x.shape)
+
+    import jax
+
+    out, x_ref, _ = lanpaint_update(
+        denoiser,
+        jnp.asarray(x),
+        latent_image=jnp.asarray(z[f"{name}/latent"]),
+        noise=jnp.asarray(z[f"{name}/noise"]),
+        latent_mask=jnp.asarray(z[f"{name}/mask"]),
+        sigma=jnp.asarray(z[f"{name}/sigma_native"]),
+        times=times,
+        n_steps=jnp.int32(n_steps),
+        config=config,
+        kind=kind,
+        key=jax.random.PRNGKey(0),
+        noise_feed=jnp.asarray(feed),
+    )
+
+    ref_out = z[f"{name}/out"]
+    ref_x = z[f"{name}/x_refined"]
+    np.testing.assert_allclose(np.asarray(x_ref), ref_x, rtol=2e-4, atol=2e-4,
+                               err_msg=f"{name}: refined latent mismatch")
+    np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4,
+                               err_msg=f"{name}: blended x0 mismatch")
+
+
+def test_goldens_regenerable_live():
+    """When /root/reference is present, the committed goldens must match a
+    fresh recording (guards against stale .npz after generator edits)."""
+    if not os.path.isdir("/root/reference/src/LanPaint"):
+        pytest.skip("reference checkout not available")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "make_reference_goldens",
+        os.path.join(os.path.dirname(__file__), "make_reference_goldens.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    lanpaint_mod = gen.import_reference()
+    import torch
+
+    fresh = gen.run_case(lanpaint_mod, torch, "eps_n3", "eps", [1.2], 3,
+                         (1, 4, 8, 8), data_seed=0)
+    z = np.load(DATA)
+    np.testing.assert_array_equal(fresh["eps_n3/out"], z["eps_n3/out"])
+    np.testing.assert_array_equal(fresh["eps_n3/x_refined"], z["eps_n3/x_refined"])
