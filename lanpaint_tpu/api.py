@@ -411,7 +411,9 @@ def inpaint_image(
         return decoded
     img_hwc = jnp.transpose(image, (0, 2, 3, 1))
     dec_hwc = jnp.transpose(decoded, (0, 2, 3, 1)).astype(img_hwc.dtype)
-    m = jnp.broadcast_to(jnp.asarray(mask, jnp.float32)[None],
-                         img_hwc.shape[:3])
+    m = jnp.asarray(mask, jnp.float32)
+    if m.ndim == 2:
+        m = m[None]
+    m = jnp.broadcast_to(m, img_hwc.shape[:3])
     blended = mask_blend(img_hwc, dec_hwc, m, blend_overlap=blend_overlap)
     return jnp.transpose(blended, (0, 3, 1, 2))

@@ -1,0 +1,320 @@
+"""Production serving front end: dynamic micro-batching + HTTP JSON API.
+
+The reference is an interactive single-user plugin (one ComfyUI graph
+execution per request); this module is the framework's serving story
+(docs/serving.md): a request queue feeding a fixed-batch compiled sampler.
+
+Design constraints, TPU-shaped:
+
+- XLA programs have static shapes: one compiled variant per
+  (batch, latent shape, steps, sampler, think steps).  Requests carry a
+  *variant key*; the batcher only coalesces requests of the same variant
+  and pads partial batches to the compiled batch size (padded lanes reuse
+  lane 0's latents — they cost compute but never recompile).
+- A single worker thread owns the device: JAX dispatch is not thread-safe
+  for concurrent jitted calls, and serializing through one queue keeps the
+  chip at 100% on back-to-back batches with zero contention.
+- Dynamic batching window: the worker takes the oldest request, then waits
+  up to `max_delay_s` for same-variant requests before launching, trading
+  a bounded latency add for up-to-`batch_size`x throughput.
+
+The runner is any callable `runner(requests: list[Request]) -> list[out]`;
+`pipeline_runner` adapts a `LanPaintPipeline`.  Serving tests drive a fake
+runner (tests/test_serve.py) — the batching/queueing layer is
+model-agnostic by construction.
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class Variant:
+    """Static-shape key: requests coalesce only within one variant."""
+
+    height: int = 1024
+    width: int = 1024
+    steps: int = 20
+    num_steps: int = 5          # think steps
+    sampler_name: str = "euler"
+    scheduler: str = "karras"
+    cfg: float = 5.0
+
+
+@dataclass
+class Request:
+    prompt: str = ""
+    negative_prompt: str = ""
+    image: Any = None           # (H, W, 3) float array, pixel space
+    mask: Any = None            # (H, W) float array, 1 = repaint
+    seed: int = 0
+    variant: Variant = field(default_factory=Variant)
+    extras: Dict[str, Any] = field(default_factory=dict)
+    _future: Optional[Future] = None
+    _t_submit: float = 0.0
+
+
+class Stats:
+    """Lock-protected serving counters + latency reservoir."""
+
+    def __init__(self, keep: int = 512):
+        self._lock = threading.Lock()
+        self._lat: List[float] = []
+        self._keep = keep
+        self.requests = 0
+        self.batches = 0
+        self.padded_lanes = 0
+        self.errors = 0
+
+    def record(self, n_reqs: int, n_pad: int, latencies: List[float]):
+        with self._lock:
+            self.requests += n_reqs
+            self.batches += 1
+            self.padded_lanes += n_pad
+            self._lat.extend(latencies)
+            if len(self._lat) > self._keep:
+                self._lat = self._lat[-self._keep:]
+
+    def record_error(self, n: int = 1):
+        with self._lock:
+            self.errors += n
+
+    def snapshot(self) -> Dict[str, Any]:
+        with self._lock:
+            lat = sorted(self._lat)
+            pct = (lambda p: lat[min(len(lat) - 1, int(p * len(lat)))]
+                   if lat else None)
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "padded_lanes": self.padded_lanes,
+                "errors": self.errors,
+                "latency_p50_s": pct(0.50),
+                "latency_p90_s": pct(0.90),
+                "latency_p99_s": pct(0.99),
+            }
+
+
+class InpaintServer:
+    """Dynamic micro-batching executor over a single-owner device thread."""
+
+    def __init__(self, runner: Callable[[List[Request]], List[Any]], *,
+                 batch_size: int = 4, max_delay_s: float = 0.05,
+                 max_queue: int = 256):
+        self.runner = runner
+        self.batch_size = batch_size
+        self.max_delay_s = max_delay_s
+        self.stats = Stats()
+        self._q: "queue.Queue[Optional[Request]]" = queue.Queue(max_queue)
+        self._pending: List[Request] = []  # same-variant carryover
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True,
+                                        name="lanpaint-serve-worker")
+        self._worker.start()
+
+    # ------------------------------------------------------------- client
+    def submit(self, req: Request) -> Future:
+        fut: Future = Future()
+        req._future = fut
+        req._t_submit = time.monotonic()
+        self._q.put(req)
+        return fut
+
+    def close(self, timeout: float = 10.0):
+        self._stop.set()
+        self._q.put(None)
+        self._worker.join(timeout)
+
+    # ------------------------------------------------------------- worker
+    def _take_batch(self) -> List[Request]:
+        """Oldest request + up-to-batch_size same-variant peers within the
+        batching window.  Different-variant arrivals are carried over."""
+        batch: List[Request] = []
+        if self._pending:
+            batch.append(self._pending.pop(0))
+        else:
+            first = self._q.get()
+            if first is None:
+                return []
+            batch.append(first)
+        deadline = time.monotonic() + self.max_delay_s
+        variant = batch[0].variant
+        while len(batch) < self.batch_size:
+            # same-variant carryover first
+            took = False
+            for i, r in enumerate(self._pending):
+                if r.variant == variant:
+                    batch.append(self._pending.pop(i))
+                    took = True
+                    break
+            if took:
+                continue
+            timeout = deadline - time.monotonic()
+            if timeout <= 0:
+                break
+            try:
+                r = self._q.get(timeout=timeout)
+            except queue.Empty:
+                break
+            if r is None:
+                self._stop.set()
+                break
+            if r.variant == variant:
+                batch.append(r)
+            else:
+                self._pending.append(r)
+        return batch
+
+    def _loop(self):
+        while not self._stop.is_set() or self._pending or not self._q.empty():
+            try:
+                batch = self._take_batch()
+            except Exception:
+                continue
+            if not batch:
+                continue
+            n_pad = 0
+            try:
+                t0 = time.monotonic()
+                outs = self.runner(batch)
+                if len(outs) != len(batch):
+                    raise RuntimeError(
+                        f"runner returned {len(outs)} outputs for "
+                        f"{len(batch)} requests")
+                done = time.monotonic()
+                lats = [done - r._t_submit for r in batch]
+                n_pad = max(0, self.batch_size - len(batch))
+                self.stats.record(len(batch), n_pad, lats)
+                for r, o in zip(batch, outs):
+                    r._future.set_result(o)
+                del t0
+            except Exception as e:  # noqa: BLE001 — fail the lanes, keep serving
+                self.stats.record_error(len(batch))
+                for r in batch:
+                    if not r._future.done():
+                        r._future.set_exception(e)
+
+
+# ---------------------------------------------------------------- runners
+def pipeline_runner(pipeline, *, batch_size: int = 4):
+    """Adapt a LanPaintPipeline to the server's list-of-requests contract.
+
+    Per-lane prompts are encoded individually and their conditioning dicts
+    stacked along the batch axis; per-lane masks ride the (B, H, W) mask
+    path.  Partial batches are padded by repeating lane 0 (static shapes,
+    never recompiles) and the padding sliced off the result.  image:
+    (3, H, W) in [-1, 1] per request; mask: (H, W), 1 = repaint.
+    """
+    import jax
+    import numpy as np
+
+    def _stack_conds(conds: List[Any]):
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate([np.asarray(x) for x in xs], axis=0),
+            *conds)
+
+    def run(batch: List[Request]) -> List[Any]:
+        v = batch[0].variant
+        n = len(batch)
+        pad = batch_size - n
+        lanes = batch + [batch[0]] * pad
+        images = np.stack([np.asarray(r.image, np.float32) for r in lanes])
+        masks = np.stack([np.asarray(r.mask, np.float32) for r in lanes])
+        positive = _stack_conds([pipeline.encode(r.prompt) for r in lanes])
+        negative = _stack_conds(
+            [pipeline.encode(r.negative_prompt) for r in lanes])
+        from .api import inpaint_image
+
+        outs = inpaint_image(
+            pipeline.model, pipeline.vae_module, pipeline.vae_params,
+            image=images, mask=masks, positive=positive, negative=negative,
+            seed=batch[0].seed, steps=v.steps, cfg=v.cfg,
+            sampler_name=v.sampler_name, scheduler=v.scheduler,
+            num_steps=v.num_steps)
+        outs = np.asarray(outs)
+        return [outs[i] for i in range(n)]
+
+    return run
+
+
+# ---------------------------------------------------------------- HTTP API
+def _encode_array(a) -> Dict[str, Any]:
+    import numpy as np
+
+    a = np.asarray(a)
+    return {"shape": list(a.shape), "dtype": str(a.dtype),
+            "data_b64": base64.b64encode(a.tobytes()).decode()}
+
+
+def _decode_array(d):
+    import numpy as np
+
+    raw = base64.b64decode(d["data_b64"])
+    return np.frombuffer(raw, dtype=d["dtype"]).reshape(d["shape"]).copy()
+
+
+def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
+                     port: int = 8776, request_timeout_s: float = 600.0):
+    """HTTP front end (stdlib-only).  Endpoints:
+
+    POST /inpaint  {"prompt": ..., "image": {shape,dtype,data_b64},
+                    "mask": {...}, "seed": int, "variant": {...}}
+                   -> {"image": {shape,dtype,data_b64}}
+    GET  /healthz  -> {"ok": true}
+    GET  /stats    -> serving counters + latency percentiles
+
+    Returns an http.server.ThreadingHTTPServer; call .serve_forever() (or
+    run it in a thread) and .shutdown() to stop.
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _json(self, code: int, obj: Dict[str, Any]):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True})
+            elif self.path == "/stats":
+                self._json(200, server.stats.snapshot())
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/inpaint":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                payload = json.loads(self.rfile.read(n))
+                req = Request(
+                    prompt=payload.get("prompt", ""),
+                    negative_prompt=payload.get("negative_prompt", ""),
+                    image=_decode_array(payload["image"]),
+                    mask=_decode_array(payload["mask"]),
+                    seed=int(payload.get("seed", 0)),
+                    variant=Variant(**payload.get("variant", {})),
+                )
+                out = server.submit(req).result(timeout=request_timeout_s)
+                self._json(200, {"image": _encode_array(out)})
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

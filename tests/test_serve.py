@@ -1,0 +1,165 @@
+"""Serving layer: dynamic micro-batching, variant grouping, HTTP front end.
+
+Model-agnostic by construction — a fake runner stands in for the compiled
+sampler (the reference's test pattern of driving the host path with fakes,
+SURVEY.md section 4)."""
+
+import http.client
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from lanpaint_tpu.serve import (
+    InpaintServer, Request, Variant, _decode_array, _encode_array,
+    make_http_server, pipeline_runner,
+)
+
+
+def make_echo_runner(log, delay=0.0):
+    def run(batch):
+        if delay:
+            time.sleep(delay)
+        log.append([r.prompt for r in batch])
+        return [f"out:{r.prompt}" for r in batch]
+
+    return run
+
+
+def test_batching_coalesces_same_variant():
+    log = []
+    srv = InpaintServer(make_echo_runner(log, delay=0.01),
+                        batch_size=4, max_delay_s=0.2)
+    futs = [srv.submit(Request(prompt=f"p{i}")) for i in range(4)]
+    assert [f.result(5) for f in futs] == [f"out:p{i}" for i in range(4)]
+    srv.close()
+    # all four requests arrived within the window -> one batch
+    assert any(len(b) == 4 for b in log)
+    assert srv.stats.snapshot()["requests"] == 4
+
+
+def test_variant_isolation():
+    log = []
+    srv = InpaintServer(make_echo_runner(log), batch_size=4, max_delay_s=0.1)
+    va, vb = Variant(steps=20), Variant(steps=30)
+    futs = [srv.submit(Request(prompt=f"a{i}", variant=va)) for i in range(2)]
+    futs += [srv.submit(Request(prompt=f"b{i}", variant=vb)) for i in range(2)]
+    assert sorted(f.result(5) for f in futs) == [
+        "out:a0", "out:a1", "out:b0", "out:b1"]
+    srv.close()
+    # no batch mixes variants
+    for b in log:
+        kinds = {p[0] for p in b}
+        assert len(kinds) == 1
+
+
+def test_runner_error_fails_lanes_and_keeps_serving():
+    calls = {"n": 0}
+
+    def run(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return ["ok"] * len(batch)
+
+    srv = InpaintServer(run, batch_size=2, max_delay_s=0.05)
+    bad = srv.submit(Request(prompt="x"))
+    with pytest.raises(RuntimeError, match="boom"):
+        bad.result(5)
+    good = srv.submit(Request(prompt="y"))
+    assert good.result(5) == "ok"
+    srv.close()
+    assert srv.stats.snapshot()["errors"] == 1
+
+
+def test_stats_latency_percentiles():
+    srv = InpaintServer(make_echo_runner([]), batch_size=1, max_delay_s=0.01)
+    for i in range(5):
+        srv.submit(Request(prompt=str(i))).result(5)
+    snap = srv.stats.snapshot()
+    srv.close()
+    assert snap["batches"] == 5
+    assert snap["latency_p50_s"] is not None
+    assert snap["latency_p99_s"] >= snap["latency_p50_s"]
+
+
+def test_http_roundtrip():
+    def run(batch):
+        return [np.asarray(r.image, np.float32) * 2.0 for r in batch]
+
+    srv = InpaintServer(run, batch_size=2, max_delay_s=0.01)
+    httpd = make_http_server(srv, port=0)  # ephemeral port
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = np.arange(12, dtype=np.float32).reshape(3, 2, 2)
+        payload = {
+            "prompt": "hi",
+            "image": _encode_array(img),
+            "mask": _encode_array(np.ones((2, 2), np.float32)),
+            "variant": {"steps": 4},
+        }
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/inpaint", json.dumps(payload),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = _decode_array(json.loads(resp.read())["image"])
+        np.testing.assert_array_equal(out, img * 2.0)
+
+        conn.request("GET", "/healthz")
+        assert json.loads(conn.getresponse().read())["ok"] is True
+        conn.request("GET", "/stats")
+        assert json.loads(conn.getresponse().read())["requests"] == 1
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_pipeline_runner_stacks_and_pads():
+    """pipeline_runner contract with a fake pipeline: per-lane prompts
+    stacked into batched conds, lane-0 padding sliced off."""
+    seen = {}
+
+    class FakePipe:
+        model = "M"
+        vae_module = "V"
+        vae_params = "P"
+
+        def encode(self, prompt):
+            return {"context": np.full((1, 3, 4), float(len(prompt)),
+                                       np.float32)}
+
+    import lanpaint_tpu.serve as serve_mod
+
+    def fake_inpaint_image(model, vae_module, vae_params, *, image, mask,
+                           positive, negative, **kw):
+        seen["image"] = image
+        seen["positive"] = positive
+        return image * 0 + positive["context"][:, 0, 0][:, None, None, None]
+
+    import lanpaint_tpu.api as api_mod
+
+    orig = api_mod.inpaint_image
+    api_mod.inpaint_image = fake_inpaint_image
+    try:
+        run = serve_mod.pipeline_runner(FakePipe(), batch_size=4)
+        reqs = [Request(prompt="ab", image=np.zeros((3, 2, 2), np.float32),
+                        mask=np.ones((2, 2), np.float32)),
+                Request(prompt="abcd", image=np.ones((3, 2, 2), np.float32),
+                        mask=np.ones((2, 2), np.float32))]
+        outs = run(reqs)
+    finally:
+        api_mod.inpaint_image = orig
+
+    assert len(outs) == 2                       # padding sliced off
+    assert seen["image"].shape == (4, 3, 2, 2)  # padded to compiled batch
+    assert seen["positive"]["context"].shape == (4, 3, 4)
+    # per-lane conds: lane 0 encodes "ab" (len 2), lane 1 "abcd" (len 4)
+    assert seen["positive"]["context"][0, 0, 0] == 2.0
+    assert seen["positive"]["context"][1, 0, 0] == 4.0
+    np.testing.assert_array_equal(outs[0], np.full((3, 2, 2), 2.0))
+    np.testing.assert_array_equal(outs[1], np.full((3, 2, 2), 4.0))
