@@ -112,7 +112,8 @@ def make_dummy_model(torch, g, kind):
 
 
 def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
-             lamb=16.0, step_size=0.2, beta=1.0, friction=15.0, data_seed=0):
+             lamb=16.0, step_size=0.2, beta=1.0, friction=15.0, data_seed=0,
+             stop_threshold=0.0, stop_patience=1):
     rng = np.random.default_rng(data_seed)
     b = shape[0]
     x = rng.standard_normal(shape).astype(np.float32)
@@ -126,10 +127,21 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
     sigma_native = np.asarray(sigma_native, np.float32).reshape(b)
     ve, abt, tflow = unified_times(sigma_native, kind)
 
-    model = make_dummy_model(torch, g, kind)
+    base_model = make_dummy_model(torch, g, kind)
+    calls = {"n": 0}
+
+    class CountingModel:
+        inner_model = base_model.inner_model
+
+        def __call__(self, x, t, model_options=None, seed=None):
+            calls["n"] += 1
+            return base_model(x, t, model_options=model_options, seed=seed)
+
+    model = CountingModel()
     lp = lanpaint_mod.LanPaint(
         model, NSteps=n_steps, Friction=friction, Lambda=lamb, Beta=beta,
         StepSize=step_size, IS_FLUX=False, IS_FLOW=(kind == "flow"),
+        EarlyStopThreshold=stop_threshold, EarlyStopPatience=stop_patience,
     )
 
     rec = DrawRecorder(torch, data_seed + 1000)
@@ -154,8 +166,12 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
         torch.randn_like = saved_randn
         torch.distributions.MultivariateNormal = saved_mvn
 
+    # think iterations actually executed (early stop may break before
+    # n_steps); each langevin iteration = 1 model call, + 1 final denoise.
+    executed = calls["n"] - 1
     tags = [t for t, _ in rec.log]
-    expected = [] if n_steps == 0 else (["randn", "mvn"] + ["mvn", "mvn"] * (n_steps - 1))
+    expected = [] if executed == 0 else (
+        ["randn", "mvn"] + ["mvn", "mvn"] * (executed - 1))
     if tags != expected:
         raise RuntimeError(
             f"{name}: unexpected draw sequence {tags} (expected {expected}) — "
@@ -167,6 +183,7 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
         "out": out.numpy().astype(np.float32),
         "x_refined": x_in.numpy().astype(np.float32),  # in-place writeback
         "meta": np.array([n_steps, lamb, step_size, beta, friction], np.float32),
+        "stop": np.array([stop_threshold, stop_patience, executed], np.float32),
         "kind": np.array(1 if kind == "flow" else 0, np.int32),
     }
     for j, (_, a) in enumerate(rec.log):
@@ -197,6 +214,14 @@ def main():
                           [0.9], 2, (1, 4, 8, 8),
                           lamb=4.0, step_size=0.5, beta=2.0, friction=6.0,
                           data_seed=6))
+    # semantic early stop: must break before n_steps=12 and at the SAME
+    # iteration our engine stops at under replayed draws
+    cases.update(run_case(lanpaint_mod, torch, "eps_earlystop", "eps",
+                          [0.8], 12, (1, 4, 8, 8), data_seed=7,
+                          stop_threshold=0.4, stop_patience=1))
+    cases.update(run_case(lanpaint_mod, torch, "eps_earlystop_p2", "eps",
+                          [0.8], 12, (1, 4, 8, 8), data_seed=8,
+                          stop_threshold=0.6, stop_patience=2))
 
     import os
 

@@ -18,8 +18,11 @@ coordinate changes, region-mixed step-size/friction/A/D parameterization
 half-step -> kick -> half-step Strang splitting with old-C half-steps
 (lanpaint.py:211-225), the SHO transition coefficients incl. the manual
 2x2 Cholesky with its 1e-8 clamps (utils.py:268-300), the stationary
-velocity init (utils.py:253-254), n_steps=0 dispatch, video 5D latents, and
-non-default (lambda, step_size, beta, friction).
+velocity init (utils.py:253-254), n_steps=0 dispatch, video 5D latents,
+non-default (lambda, step_size, beta, friction), and the semantic early
+stopper (earlystop.py:238-313): with a threshold set, the engine must stop
+at the reference's exact iteration (inpaint+ring weighted MSE, abt-scaled
+threshold, drift anchor, patience) and still match outputs.
 """
 
 import os
@@ -35,7 +38,7 @@ from lanpaint_tpu.schedule import Times
 DATA = os.path.join(os.path.dirname(__file__), "data", "reference_goldens.npz")
 
 CASES = ["eps_n3", "eps_n1", "eps_n0", "eps_b2", "flow_n3",
-         "flow_n2_video", "eps_params"]
+         "flow_n2_video", "eps_params", "eps_earlystop", "eps_earlystop_p2"]
 
 
 @pytest.fixture(scope="module")
@@ -43,12 +46,17 @@ def goldens():
     return np.load(DATA)
 
 
-def build_noise_feed(z, name, n_steps, shape):
+def build_noise_feed(z, name, n_steps, executed, shape):
     """Map the reference's recorded draw sequence onto the engine's
-    (n_max, 5, *shape) feed: slots [eps_y1, eps_v1, eps_y2, eps_v2, v_stat]."""
+    (n_max, 5, *shape) feed: slots [eps_y1, eps_v1, eps_y2, eps_v2, v_stat].
+
+    `executed` is how many think iterations the reference actually ran
+    (early stop may break before n_steps); the feed only holds draws for
+    those — if the engine's stop logic diverged and it consumed more, the
+    clamped feed rows guarantee a mismatch the output assertions catch."""
     n_max = max(n_steps, 1)
     feed = np.zeros((n_max, 5) + shape, np.float32)
-    if n_steps == 0:
+    if executed == 0:
         return feed
     draws = [z[f"{name}/draw{j}"] for j in range(int(z[f"{name}/n_draws"]))]
     # cold step: [v0-randn, mvn]; mvn eps shape (*shape, 2) -> (y, v)
@@ -56,7 +64,7 @@ def build_noise_feed(z, name, n_steps, shape):
     feed[0, 0] = draws[1][..., 0]
     feed[0, 1] = draws[1][..., 1]
     k = 2
-    for j in range(1, n_steps):
+    for j in range(1, executed):
         feed[j, 0] = draws[k][..., 0]
         feed[j, 1] = draws[k][..., 1]
         feed[j, 2] = draws[k + 1][..., 0]
@@ -84,14 +92,17 @@ def test_reference_parity(goldens, name):
         abt=jnp.asarray(z[f"{name}/abt"]),
         flow_t=jnp.asarray(z[f"{name}/tflow"]),
     )
+    stop_threshold, stop_patience, executed = (
+        float(v) for v in z[f"{name}/stop"])
     config = LanPaintConfig(
         n_steps=max(n_steps, 1), lamb=lamb, step_size=step_size, beta=beta,
-        friction=friction)
-    feed = build_noise_feed(z, name, n_steps, x.shape)
+        friction=friction, inner_threshold=stop_threshold,
+        inner_patience=int(stop_patience))
+    feed = build_noise_feed(z, name, n_steps, int(executed), x.shape)
 
     import jax
 
-    out, x_ref, _ = lanpaint_update(
+    out, x_ref, aux = lanpaint_update(
         denoiser,
         jnp.asarray(x),
         latent_image=jnp.asarray(z[f"{name}/latent"]),
@@ -108,6 +119,11 @@ def test_reference_parity(goldens, name):
 
     ref_out = z[f"{name}/out"]
     ref_x = z[f"{name}/x_refined"]
+    # early stop parity: the engine must run exactly as many think
+    # iterations as the reference did (its langevin call count)
+    assert int(aux.steps_done) == int(executed), (
+        f"{name}: engine ran {int(aux.steps_done)} think iterations, "
+        f"reference ran {int(executed)}")
     np.testing.assert_allclose(np.asarray(x_ref), ref_x, rtol=2e-4, atol=2e-4,
                                err_msg=f"{name}: refined latent mismatch")
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4,
