@@ -51,15 +51,26 @@ class WanConfig:
     tp_axis: Optional[str] = None
     tp_size: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    # dtype of the residual stream BETWEEN blocks.  None = float32 (the
+    # modulation gates are fp32, so `x + g * branch` promotes).  bf16 keeps
+    # the (B, S, hidden) stream half-width — at video scale the stream is
+    # HBM-bound pointwise traffic through every block, and norm statistics
+    # still run in fp32 inside each LayerNorm.
+    residual_dtype: Optional[jnp.dtype] = None
 
     @property
     def head_dim(self) -> int:
         return self.hidden // self.num_heads
 
 
-WAN22_T2V_14B_CONFIG = WanConfig()
+# Production configs keep the residual stream bf16 — the reference runs the
+# whole torch model in bf16 (ComfyUI model dtype), so fp32 residuals would
+# *diverge* from reference behavior while costing HBM traffic (measured on
+# v5e: 469.5 -> 454.2 ms per 5B forward at 5400 tokens).
+WAN22_T2V_14B_CONFIG = WanConfig(residual_dtype=jnp.bfloat16)
 WAN22_TI2V_5B_CONFIG = WanConfig(hidden=3072, num_heads=24, depth=30,
-                                 ffn_dim=14336, axes_dim=(44, 42, 42))
+                                 ffn_dim=14336, axes_dim=(44, 42, 42),
+                                 residual_dtype=jnp.bfloat16)
 TINY_WAN_CONFIG = WanConfig(in_channels=4, out_channels=4, hidden=64,
                             num_heads=4, depth=2, ffn_dim=128, context_dim=32,
                             axes_dim=(8, 4, 4))
@@ -141,7 +152,8 @@ class WanBlock(nn.Module):
         cfg = self.cfg
         mod_table = self.param("modulation", nn.initializers.normal(0.02),
                                (1, 6, cfg.hidden), jnp.float32)
-        e = (mod_table + e.astype(jnp.float32))
+        rdt = jnp.float32 if cfg.residual_dtype is None else cfg.residual_dtype
+        e = (mod_table + e.astype(jnp.float32)).astype(rdt)
         sh1, sc1, g1, sh2, sc2, g2 = [e[:, i][:, None] for i in range(6)]
 
         ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False,
