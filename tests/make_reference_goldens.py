@@ -113,7 +113,7 @@ def make_dummy_model(torch, g, kind):
 
 def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
              lamb=16.0, step_size=0.2, beta=1.0, friction=15.0, data_seed=0,
-             stop_threshold=0.0, stop_patience=1):
+             stop_threshold=0.0, stop_patience=1, custom_distance=False):
     rng = np.random.default_rng(data_seed)
     b = shape[0]
     x = rng.standard_normal(shape).astype(np.float32)
@@ -138,10 +138,15 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
             return base_model(x, t, model_options=model_options, seed=seed)
 
     model = CountingModel()
+    # canonical 3-arg custom metric (earlystop.py:216-218): mean |cur - prev|
+    # over the latent; expressed identically on the jax side in the test
+    hook = (lambda prev, cur, ctx: torch.mean(torch.abs(cur - prev))) \
+        if custom_distance else None
     lp = lanpaint_mod.LanPaint(
         model, NSteps=n_steps, Friction=friction, Lambda=lamb, Beta=beta,
         StepSize=step_size, IS_FLUX=False, IS_FLOW=(kind == "flow"),
         EarlyStopThreshold=stop_threshold, EarlyStopPatience=stop_patience,
+        EarlyStopHook=hook,
     )
 
     rec = DrawRecorder(torch, data_seed + 1000)
@@ -183,13 +188,52 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
         "out": out.numpy().astype(np.float32),
         "x_refined": x_in.numpy().astype(np.float32),  # in-place writeback
         "meta": np.array([n_steps, lamb, step_size, beta, friction], np.float32),
-        "stop": np.array([stop_threshold, stop_patience, executed], np.float32),
+        "stop": np.array([stop_threshold, stop_patience, executed,
+                          float(custom_distance)], np.float32),
         "kind": np.array(1 if kind == "flow" else 0, np.int32),
     }
     for j, (_, a) in enumerate(rec.log):
         arrays[f"draw{j}"] = a
     arrays["n_draws"] = np.array(len(rec.log), np.int32)
     return {f"{name}/{k}": v for k, v in arrays.items()}
+
+
+def import_reference_package():
+    """The full reference package (installs its own comfy stubs) — gives the
+    real node classes (MaskBlend)."""
+    spec = importlib.util.spec_from_file_location(
+        "lanpaint_ref", REFERENCE_ROOT + "/__init__.py",
+        submodule_search_locations=[REFERENCE_ROOT])
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["lanpaint_ref"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def run_maskblend_cases(torch):
+    """Goldens from the reference's actual MaskBlend node (nodes.py:436-477).
+
+    Only odd overlaps >= 3: at the node's own default blend_overlap=1 the
+    reference produces NaN (sigma=(k-1)/4=0 divides by zero in
+    gaussian_kernel, nodes.py:467) — our implementation guards sigma and
+    yields the hard blend instead; tested separately."""
+    ref = import_reference_package()
+    mb = ref.NODE_CLASS_MAPPINGS["LanPaint_MaskBlend"]()
+    rng = np.random.default_rng(42)
+    out = {}
+    for overlap in (3, 9):
+        img1 = rng.random((2, 24, 24, 3)).astype(np.float32)
+        img2 = rng.random((2, 24, 24, 3)).astype(np.float32)
+        mask = np.zeros((2, 24, 24), np.float32)
+        mask[0, 6:18, 4:20] = 1.0
+        mask[1] = (rng.random((24, 24)) < 0.4).astype(np.float32)
+        blended, = mb.blend_images(
+            torch.from_numpy(img1), torch.from_numpy(img2),
+            torch.from_numpy(mask), overlap)
+        p = f"maskblend_o{overlap}"
+        out.update({f"{p}/img1": img1, f"{p}/img2": img2, f"{p}/mask": mask,
+                    f"{p}/out": blended.numpy().astype(np.float32)})
+    return out
 
 
 def main():
@@ -222,6 +266,12 @@ def main():
     cases.update(run_case(lanpaint_mod, torch, "eps_earlystop_p2", "eps",
                           [0.8], 12, (1, 4, 8, 8), data_seed=8,
                           stop_threshold=0.6, stop_patience=2))
+    # pluggable custom distance metric (raw threshold, no abt scaling)
+    cases.update(run_case(lanpaint_mod, torch, "eps_customdist", "eps",
+                          [0.8], 12, (1, 4, 8, 8), data_seed=9,
+                          stop_threshold=0.3, stop_patience=1,
+                          custom_distance=True))
+    cases.update(run_maskblend_cases(torch))
 
     import os
 

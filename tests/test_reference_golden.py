@@ -38,7 +38,8 @@ from lanpaint_tpu.schedule import Times
 DATA = os.path.join(os.path.dirname(__file__), "data", "reference_goldens.npz")
 
 CASES = ["eps_n3", "eps_n1", "eps_n0", "eps_b2", "flow_n3",
-         "flow_n2_video", "eps_params", "eps_earlystop", "eps_earlystop_p2"]
+         "flow_n2_video", "eps_params", "eps_earlystop", "eps_earlystop_p2",
+         "eps_customdist"]
 
 
 @pytest.fixture(scope="module")
@@ -92,12 +93,17 @@ def test_reference_parity(goldens, name):
         abt=jnp.asarray(z[f"{name}/abt"]),
         flow_t=jnp.asarray(z[f"{name}/tflow"]),
     )
-    stop_threshold, stop_patience, executed = (
-        float(v) for v in z[f"{name}/stop"])
+    stop_vals = [float(v) for v in z[f"{name}/stop"]]
+    stop_threshold, stop_patience, executed = stop_vals[:3]
+    custom = len(stop_vals) > 3 and stop_vals[3] > 0
+    # same metric the torch-side EarlyStopHook computes (3-arg canonical
+    # form): mean |cur - prev| over the latent, raw threshold
+    distance_fn = (lambda prev, cur, ctx: jnp.mean(jnp.abs(cur - prev))) \
+        if custom else None
     config = LanPaintConfig(
         n_steps=max(n_steps, 1), lamb=lamb, step_size=step_size, beta=beta,
         friction=friction, inner_threshold=stop_threshold,
-        inner_patience=int(stop_patience))
+        inner_patience=int(stop_patience), distance_fn=distance_fn)
     feed = build_noise_feed(z, name, n_steps, int(executed), x.shape)
 
     import jax
@@ -128,6 +134,36 @@ def test_reference_parity(goldens, name):
                                err_msg=f"{name}: refined latent mismatch")
     np.testing.assert_allclose(np.asarray(out), ref_out, rtol=2e-4, atol=2e-4,
                                err_msg=f"{name}: blended x0 mismatch")
+
+
+@pytest.mark.parametrize("overlap", [3, 9])
+def test_maskblend_reference_parity(goldens, overlap):
+    """mask_blend vs the reference MaskBlend node's recorded outputs
+    (nodes.py:436-477): max-pool dilate + Gaussian feather + lerp."""
+    from lanpaint_tpu.masks import mask_blend
+
+    z = goldens
+    p = f"maskblend_o{overlap}"
+    out = mask_blend(jnp.asarray(z[f"{p}/img1"]), jnp.asarray(z[f"{p}/img2"]),
+                     jnp.asarray(z[f"{p}/mask"]), blend_overlap=overlap)
+    np.testing.assert_allclose(np.asarray(out), z[f"{p}/out"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_maskblend_overlap1_is_finite_hard_blend():
+    """Divergence from the reference, on purpose: at its own default
+    blend_overlap=1 the reference produces NaN (gaussian_kernel sigma=0,
+    nodes.py:467 divides by zero).  Ours guards sigma and degrades to the
+    hard mask blend."""
+    from lanpaint_tpu.masks import mask_blend
+
+    i1 = jnp.zeros((1, 8, 8, 3))
+    i2 = jnp.ones((1, 8, 8, 3))
+    m = jnp.zeros((1, 8, 8)).at[:, 2:6, 2:6].set(1.0)
+    out = mask_blend(i1, i2, m, blend_overlap=1)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out[0, :, :, 0]), np.asarray(m[0]),
+                               atol=1e-6)
 
 
 def test_goldens_regenerable_live():
