@@ -182,9 +182,7 @@ class InpaintServer:
                 continue
             if not batch:
                 continue
-            n_pad = 0
             try:
-                t0 = time.monotonic()
                 outs = self.runner(batch)
                 if len(outs) != len(batch):
                     raise RuntimeError(
@@ -196,7 +194,6 @@ class InpaintServer:
                 self.stats.record(len(batch), n_pad, lats)
                 for r, o in zip(batch, outs):
                     r._future.set_result(o)
-                del t0
             except Exception as e:  # noqa: BLE001 — fail the lanes, keep serving
                 self.stats.record_error(len(batch))
                 for r in batch:
