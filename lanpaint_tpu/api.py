@@ -63,6 +63,7 @@ class LanPaintSampler:
         denoise_mask_fn: Optional[Callable] = None,
         callback: Optional[Callable] = None,
         pre_cfg_fns: Optional[list] = None,
+        sequential_cfg: bool = False,
     ):
         # callback(i, denoised, x) fires per outer step from inside the
         # compiled scan via jax.debug.callback (host round-trip; preview use
@@ -79,6 +80,10 @@ class LanPaintSampler:
         self.denoise_mask_fn = denoise_mask_fn
         self.callback = callback
         self.pre_cfg_fns = pre_cfg_fns
+        # Sequential cond/uncond passes (two B-sized model calls instead of
+        # one 2B-sized): same math; halves peak activation memory.  Use for
+        # large-token video models — see guidance.make_cfg_double_denoiser.
+        self.sequential_cfg = sequential_cfg
         # Pin weights on device ONCE.  Host (numpy) params passed per call
         # re-upload the full weight tree every invocation — measured 11.2 s
         # vs 0.156 s per SDXL forward through the TPU tunnel.
@@ -96,6 +101,7 @@ class LanPaintSampler:
         return make_cfg_double_denoiser(
             self.model.bind(params), cond, uncond, self.cfg, self.cfg_big,
             self.disable_cfg1_optimization, self.pre_cfg_fns,
+            sequential=self.sequential_cfg,
         )
 
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,

@@ -49,6 +49,7 @@ def make_cfg_double_denoiser(
     cfg_big: float,
     disable_cfg1_optimization: bool = False,
     pre_cfg_fns: Optional[list] = None,
+    sequential: bool = False,
 ) -> DoubleDenoiser:
     """Build the (x0, x0_big) double denoiser from a raw model-x0 function.
 
@@ -77,11 +78,22 @@ def make_cfg_double_denoiser(
 
     def denoise_double(x, t):
         b = x.shape[0]
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([jnp.broadcast_to(t, (b,))] * 2, axis=0)
-        c2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0), cond, uncond)
-        out = model_x0(x2, t2, c2)
-        x0_c, x0_u = out[:b], out[b:]
+        if sequential:
+            # Two B-sized passes instead of one 2B-sized pass.  Same math
+            # and (at large-token video scale) the same wall-clock — the
+            # MXU is already saturated at B=1 — but peak activation memory
+            # halves.  Also the workaround for a v5e runtime fault observed
+            # with the 2B-batched Wan-5B call inside the sampler loops.
+            tb = jnp.broadcast_to(t, (b,))
+            x0_c = model_x0(x, tb, cond)
+            x0_u = model_x0(x, tb, uncond)
+        else:
+            x2 = jnp.concatenate([x, x], axis=0)
+            t2 = jnp.concatenate([jnp.broadcast_to(t, (b,))] * 2, axis=0)
+            c2 = jax.tree.map(lambda c, u: jnp.concatenate([c, u], axis=0),
+                              cond, uncond)
+            out = model_x0(x2, t2, c2)
+            x0_c, x0_u = out[:b], out[b:]
         for fn in (pre_cfg_fns or []):
             x0_c, x0_u = fn({"conds_out": [x0_c, x0_u], "cond_scale": cfg,
                              "input": x, "sigma": t})

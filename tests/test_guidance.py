@@ -97,3 +97,26 @@ def test_pre_cfg_hook_applied():
 def test_unknown_prompt_mode_raises():
     with pytest.raises(ValueError, match="prompt_mode"):
         resolve_cfg_big("whatever", 5.0)
+
+
+def test_sequential_matches_batched():
+    """sequential=True (two B-sized passes) must equal the batched 2B pass
+    bit-for-bit in fp32 — it is the memory-halving video-scale variant."""
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((4, 4)), jnp.float32)
+
+    def model(x, t, cond):
+        bias = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.einsum("bchw,cd->bdhw", x, w) * 0.1 + bias + \
+            t.reshape((-1,) + (1,) * (x.ndim - 1)) * 0.01
+
+    cond = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+    uncond = jnp.asarray(rng.standard_normal((2, 1)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8)), jnp.float32)
+    t = jnp.full((2,), 0.7, jnp.float32)
+    den_b = make_cfg_double_denoiser(model, cond, uncond, cfg=5.0, cfg_big=-0.5)
+    den_s = make_cfg_double_denoiser(model, cond, uncond, cfg=5.0, cfg_big=-0.5,
+                                     sequential=True)
+    for a, b in zip(den_b(x, t), den_s(x, t)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
