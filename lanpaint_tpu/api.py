@@ -105,11 +105,16 @@ class LanPaintSampler:
         )
 
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,
-                     denoise_mask, cond, uncond, key, tables):
+                     denoise_mask, cond, uncond, key, tables,
+                     step_offset, total_steps):
+        # step_offset/total_steps: global position of this (possibly
+        # chunked) ladder segment — the RNG stream, outer-early-stop index
+        # and callback step numbers stay those of the single-launch
+        # program.  Terminal inverse noise scaling happens in __call__
+        # (host side) so intermediate segments compose by identity.
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
         cfg_ = self.config
-        total = sigmas.shape[0] - 1
 
         def wrapped(x, sigma, k):
             sigma_b = jnp.broadcast_to(sigma, (x.shape[0],))
@@ -121,8 +126,9 @@ class LanPaintSampler:
             latent_mask = 1.0 - dm
             # Outer early stop: zero think steps in the tail
             # (reference nodes.py:177-183).
-            step = jnp.argmin(jnp.abs(sigmas - sigma))
-            n = jnp.where(total - step <= cfg_.outer_early_stop, 0, cfg_.n_steps)
+            step = jnp.argmin(jnp.abs(sigmas - sigma)) + step_offset
+            n = jnp.where(total_steps - step <= cfg_.outer_early_stop, 0,
+                          cfg_.n_steps)
             out, x_new, _aux = lanpaint_update(
                 denoise, x, latent_image=latent, noise=think_noise,
                 latent_mask=latent_mask, sigma=sigma_b, times=times,
@@ -130,14 +136,13 @@ class LanPaintSampler:
             )
             return out, x_new
 
-        samples, den_all = samplers.sample(
+        return samplers.sample(
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
-            callback=self.callback, tables=tables,
+            callback=self.callback, tables=tables, step_offset=step_offset,
         )
-        samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
-        return samples, den_all
 
-    def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables):
+    def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables,
+                   step_offset):
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
 
@@ -148,12 +153,10 @@ class LanPaintSampler:
             out, _ = denoise(x, t)
             return out, x
 
-        samples, den_all = samplers.sample(
+        return samplers.sample(
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
-            callback=self.callback, tables=tables,
+            callback=self.callback, tables=tables, step_offset=step_offset,
         )
-        samples = inverse_noise_scaling(kind, sigmas[-1:], samples)
-        return samples, den_all
 
     # -- runtime entry -----------------------------------------------------
 
@@ -170,8 +173,21 @@ class LanPaintSampler:
         add_noise: bool = True,
         decoupled_noise: bool = False,
         video: bool = False,
+        chunk_steps: Optional[int] = None,
     ):
-        """Run sampling.  Returns (samples, denoised_history)."""
+        """Run sampling.  Returns (samples, denoised_history).
+
+        `chunk_steps`: run the sigma ladder as ceil(steps/chunk) jitted
+        launches of at most `chunk_steps` outer steps each instead of one.
+        Bit-identical to the single launch for history-free solvers
+        (euler/euler_ancestral/ddpm/dpmpp_sde/er_sde/seeds — the per-step
+        RNG stream, outer early stop and callbacks carry the global step
+        index); multistep solvers (dpmpp_2m/3m, deis, res_multistep,
+        gradient_estimation) restart their history at each boundary.  Use
+        at video scale: bounds single-execution device time (the remote-TPU
+        transport kills executions beyond ~1 min) and gives the serving
+        layer per-chunk progress/cancellation points.
+        """
         latent = jnp.asarray(latent)
         sigmas = jnp.asarray(sigmas, jnp.float32)
         key = jax.random.PRNGKey(seed)
@@ -196,20 +212,81 @@ class LanPaintSampler:
             noise, latent, max_denoise=_max_denoise(sigmas, self.model.sigma_table),
         )
 
-        tables = samplers.prepare_tables(self.sampler_name, np.asarray(sigmas))
         params = self._params  # device-resident; traced through jit
-        if mask is None:
-            return self._jit_plain(params, x_init, sigmas, cond, uncond,
-                                   k_solve, tables)
-        denoise_mask = prepare_mask(mask, latent.shape, video)
-        return self._jit_inpaint(
-            params, x_init, think_noise, sigmas, latent, denoise_mask, cond,
-            uncond, k_solve, tables,
-        )
+        kind = self.model.kind
+        total = int(sigmas.shape[0]) - 1
+        denoise_mask = (None if mask is None
+                        else prepare_mask(mask, latent.shape, video))
+        if chunk_steps is not None and self.sampler_name == "dpm_fast":
+            raise ValueError("chunk_steps is not supported with dpm_fast "
+                             "(its order-3 step groups span the full ladder)")
+        chunk = total if not chunk_steps else max(1, int(chunk_steps))
+        if total <= 0:
+            return (inverse_noise_scaling(kind, sigmas[-1:], x_init),
+                    jnp.zeros((0,) + x_init.shape, x_init.dtype))
+
+        sig_host = np.asarray(sigmas)
+        if chunk < total:
+            # Pin per-call constants to the device before the launch loop:
+            # host-resident jit arguments re-upload on EVERY launch, and on
+            # the tunneled TPU backend that transfer dwarfs the compute
+            # (measured: ~130 s/launch for ~15 MB of latent+noise+mask).
+            latent, think_noise = jax.device_put((latent, think_noise))
+            cond, uncond = jax.device_put((cond, uncond))
+            if denoise_mask is not None:
+                denoise_mask = jax.device_put(denoise_mask)
+        x = x_init
+        den_parts = []
+        for start in range(0, total, chunk):
+            end = min(start + chunk, total)
+            seg = sigmas[start:end + 1]
+            tables = samplers.prepare_tables(self.sampler_name,
+                                             sig_host[start:end + 1])
+            if denoise_mask is None:
+                x, den = self._jit_plain(params, x, seg, cond, uncond,
+                                         k_solve, tables, jnp.int32(start))
+            else:
+                x, den = self._jit_inpaint(
+                    params, x, think_noise, seg, latent, denoise_mask, cond,
+                    uncond, k_solve, tables, jnp.int32(start),
+                    jnp.int32(total))
+            den_parts.append(den)
+
+        samples = inverse_noise_scaling(kind, sigmas[-1:], x)
+        den_all = (den_parts[0] if len(den_parts) == 1
+                   else jnp.concatenate(den_parts, axis=0))
+        return samples, den_all
 
 
 # ---------------------------------------------------------------------------
 # Node-equivalent convenience entry points
+
+
+_SAMPLER_CACHE: dict = {}
+
+
+def _cached_sampler(model: Denoiser, config: LanPaintConfig,
+                    sampler_name: str, cfg: float,
+                    prompt_mode: str) -> LanPaintSampler:
+    """Memoize LanPaintSampler per (model, static hyperparameters).
+
+    The node-style entry points (ksampler etc.) are called per request;
+    constructing a fresh sampler each time would re-jit (and on the remote
+    TPU backend re-COMPILE, minutes) the identical program.  Keyed on the
+    model object identity plus every constructor argument that shapes the
+    compiled code; latents/conds/seeds stay runtime arguments.
+    """
+    import dataclasses as _dc
+
+    key = (id(model), _dc.astuple(
+        _dc.replace(config, distance_fn=None)), config.distance_fn,
+        sampler_name, float(cfg), prompt_mode)
+    sam = _SAMPLER_CACHE.get(key)
+    if sam is None:
+        sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
+                              cfg=cfg, prompt_mode=prompt_mode)
+        _SAMPLER_CACHE[key] = sam
+    return sam
 
 
 def _build_sigmas(model: Denoiser, scheduler: str, steps: int, denoise: float = 1.0):
@@ -234,18 +311,17 @@ def ksampler(
     num_steps: int = 5,
     prompt_mode: str = "Image First",
     video: bool = False,
+    chunk_steps: Optional[int] = None,
 ):
     """LanPaint_KSampler equivalent: simple API with reference defaults
     (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
     reference nodes.py:329-336)."""
     config = LanPaintConfig(n_steps=num_steps)
-    sam = LanPaintSampler(
-        model, config=config, sampler_name=sampler_name, cfg=cfg,
-        prompt_mode=prompt_mode,
-    )
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
     sigmas = _build_sigmas(model, scheduler, steps, denoise)
     samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
-                     uncond=negative, mask=mask, seed=seed, video=video)
+                     uncond=negative, mask=mask, seed=seed, video=video,
+                     chunk_steps=chunk_steps)
     return samples
 
 
@@ -275,6 +351,7 @@ def ksampler_advanced(
     inner_threshold: float = 0.0,
     inner_patience: int = 1,
     video: bool = False,
+    chunk_steps: Optional[int] = None,
 ):
     """LanPaint_KSamplerAdvanced equivalent: full hyperparameter surface
     (reference nodes.py:350-413)."""
@@ -290,13 +367,11 @@ def ksampler_advanced(
         return latent
     if not return_with_leftover_noise:
         sigmas[-1] = 0.0
-    sam = LanPaintSampler(
-        model, config=config, sampler_name=sampler_name, cfg=cfg,
-        prompt_mode=prompt_mode,
-    )
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
     samples, _ = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
                      uncond=negative, mask=mask, seed=noise_seed,
-                     add_noise=add_noise, video=video)
+                     add_noise=add_noise, video=video,
+                     chunk_steps=chunk_steps)
     return samples
 
 
@@ -315,17 +390,16 @@ def sample_custom(
     num_steps: int = 5,
     prompt_mode: str = "Image First",
     video: bool = False,
+    chunk_steps: Optional[int] = None,
 ):
     """LanPaint_SamplerCustom equivalent: caller-supplied sigma ladder;
     returns (output, denoised_output) (reference nodes.py:491-556)."""
     config = LanPaintConfig(n_steps=num_steps)
-    sam = LanPaintSampler(
-        model, config=config, sampler_name=sampler_name, cfg=cfg,
-        prompt_mode=prompt_mode,
-    )
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
     samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
                            uncond=negative, mask=mask, seed=noise_seed,
-                           add_noise=add_noise, video=video)
+                           add_noise=add_noise, video=video,
+                           chunk_steps=chunk_steps)
     denoised = den_all[-1]
     if model.process_latent_out is not None:
         denoised = model.process_latent_out(denoised)
@@ -354,6 +428,7 @@ def sample_custom_advanced(
     inner_threshold: float = 0.0,
     inner_patience: int = 1,
     video: bool = False,
+    chunk_steps: Optional[int] = None,
 ):
     """LanPaint_SamplerCustomAdvanced equivalent: full knobs + custom sigmas
     + caller-supplied noise (reference nodes.py:558-626)."""
@@ -362,13 +437,11 @@ def sample_custom_advanced(
         friction=friction, outer_early_stop=early_stop,
         inner_threshold=inner_threshold, inner_patience=inner_patience,
     )
-    sam = LanPaintSampler(
-        model, config=config, sampler_name=sampler_name, cfg=cfg,
-        prompt_mode=prompt_mode,
-    )
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
     samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
                            uncond=negative, mask=mask, seed=noise_seed,
-                           noise=noise, video=video)
+                           noise=noise, video=video,
+                           chunk_steps=chunk_steps)
     denoised = den_all[-1]
     if model.process_latent_out is not None:
         denoised = model.process_latent_out(denoised)

@@ -646,6 +646,7 @@ def sample(
     key: jax.Array,
     callback=None,
     tables: dict = None,
+    step_offset=0,
 ):
     """Run the full outer sampling loop as one `lax.scan`.
 
@@ -676,7 +677,11 @@ def sample(
         i = it
         s = sigmas[i]
         sn = sigmas[i + 1]
-        k = jax.random.fold_in(key, i)
+        # step_offset: global step index when the ladder runs as chunked
+        # launches (api.LanPaintSampler chunk_steps) — keeps the per-step
+        # RNG stream and callback indices identical to the single-launch
+        # program.
+        k = jax.random.fold_in(key, i + step_offset)
         if sampler == "deis":
             carry, den = step_fn(model, carry, s, sn, i, k,
                                  coeff_row=tables["deis"][i])
@@ -686,7 +691,8 @@ def sample(
         else:
             carry, den = step_fn(model, carry, s, sn, i, k)
         if callback is not None:
-            jax.debug.callback(callback, i, den, carry.x, ordered=False)
+            jax.debug.callback(callback, i + step_offset, den, carry.x,
+                               ordered=False)
         return carry, den
 
     carry, denoised_all = lax.scan(body, carry0, idx)

@@ -184,3 +184,66 @@ def test_sampler_reuse_no_recompile(toy):
     s2, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=1)
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
     assert sam._jit_plain._cache_size() == 1
+
+
+def test_node_entry_points_reuse_compiled_sampler():
+    """ksampler must memoize the LanPaintSampler (same jitted program) across
+    calls with identical static hyperparameters — a per-request re-jit means
+    a multi-minute recompile per serving request on the remote TPU backend."""
+    from lanpaint_tpu.api import _SAMPLER_CACHE, _cached_sampler
+    from lanpaint_tpu.config import LanPaintConfig
+
+    model = make_toy_model()
+    _SAMPLER_CACHE.clear()
+    s1 = _cached_sampler(model, LanPaintConfig(n_steps=2), "euler", 5.0,
+                         "Image First")
+    s2 = _cached_sampler(model, LanPaintConfig(n_steps=2), "euler", 5.0,
+                         "Image First")
+    s3 = _cached_sampler(model, LanPaintConfig(n_steps=3), "euler", 5.0,
+                         "Image First")
+    assert s1 is s2
+    assert s3 is not s1
+
+
+@pytest.mark.parametrize("sampler_name", ["euler", "euler_ancestral"])
+def test_chunked_launches_match_single_launch(sampler_name):
+    """chunk_steps splits the ladder into multiple jitted launches; for
+    history-free solvers the result must equal the single launch exactly
+    (same per-step RNG stream, same outer-early-stop indices)."""
+    from lanpaint_tpu.api import LanPaintSampler
+    from lanpaint_tpu.config import LanPaintConfig
+    from lanpaint_tpu.sigmas import calculate_sigmas
+
+    model = make_toy_model()
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    mask = np.zeros((1, 4, 8, 8), np.float32)
+    mask[..., :, 4:] = 1.0
+    cond, uncond = jnp.full((1, 1), 0.3), jnp.full((1, 1), -0.1)
+    sigmas = jnp.asarray(calculate_sigmas(model.sigma_table, "karras", 7),
+                         jnp.float32)
+    sam = LanPaintSampler(model, config=LanPaintConfig(n_steps=2),
+                          sampler_name=sampler_name, cfg=3.0)
+    out1, den1 = sam(latent=latent, sigmas=sigmas, cond=cond, uncond=uncond,
+                     mask=jnp.asarray(mask), seed=5)
+    out3, den3 = sam(latent=latent, sigmas=sigmas, cond=cond, uncond=uncond,
+                     mask=jnp.asarray(mask), seed=5, chunk_steps=3)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out3))
+    np.testing.assert_array_equal(np.asarray(den1), np.asarray(den3))
+
+
+def test_chunked_flow_leftover_noise_inverse_scaling():
+    """Terminal inverse scaling (FLOW divides by 1-t) must be applied once,
+    at the true end — not per chunk — for partial runs ending at t > 0."""
+    from lanpaint_tpu.api import LanPaintSampler
+    from lanpaint_tpu.config import LanPaintConfig
+
+    model = make_toy_model(kind=ModelKind.FLOW)
+    latent = jnp.zeros((1, 4, 8, 8), jnp.float32)
+    sigmas = jnp.asarray([0.9, 0.7, 0.5, 0.35, 0.2], jnp.float32)
+    sam = LanPaintSampler(model, config=LanPaintConfig(n_steps=1),
+                          sampler_name="euler", cfg=1.0)
+    cond = jnp.full((1, 1), 0.2)
+    out1, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=2)
+    out2, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=2,
+                  chunk_steps=2)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
