@@ -44,6 +44,10 @@ def main():
         model, seed=args.seed, steps=args.steps, cfg=1.0,
         sampler_name="euler", scheduler="simple", positive=cond,
         latent=latent, mask=jnp.asarray(mask), num_steps=2, video=True,
+        # long-video runs must bound single-execution device time
+        # (docs/serving.md "Chunked launches"; 81-frame measured 139 s
+        # at chunk_steps=4 on one v5e chip)
+        chunk_steps=4 if args.checkpoint else None,
     )
     report("wan22_video_inpaint", out)
 

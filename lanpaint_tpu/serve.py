@@ -48,6 +48,9 @@ class Variant:
     sampler_name: str = "euler"
     scheduler: str = "karras"
     cfg: float = 5.0
+    # Bound single-execution device time (docs/serving.md "Chunked
+    # launches"); None = one launch.  Set for video-scale variants.
+    chunk_steps: Optional[int] = None
 
 
 @dataclass
@@ -236,7 +239,7 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
             image=images, mask=masks, positive=positive, negative=negative,
             seed=batch[0].seed, steps=v.steps, cfg=v.cfg,
             sampler_name=v.sampler_name, scheduler=v.scheduler,
-            num_steps=v.num_steps)
+            num_steps=v.num_steps, chunk_steps=v.chunk_steps)
         outs = np.asarray(outs)
         return [outs[i] for i in range(n)]
 
