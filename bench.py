@@ -75,6 +75,9 @@ def main():
     sam = LanPaintSampler(
         den_bf16, config=LanPaintConfig(n_steps=THINK_STEPS),
         sampler_name="euler", cfg=5.0,
+        # measured faster than the 2B-batched CFG pass at 1024px
+        # (2 x 77.1 ms vs 161.7 ms per pair on v5e)
+        sequential_cfg=True,
     )
 
     def run(seed):
