@@ -266,8 +266,8 @@ _SAMPLER_CACHE: dict = {}
 
 
 def _cached_sampler(model: Denoiser, config: LanPaintConfig,
-                    sampler_name: str, cfg: float,
-                    prompt_mode: str) -> LanPaintSampler:
+                    sampler_name: str, cfg: float, prompt_mode: str,
+                    sequential_cfg: bool = False) -> LanPaintSampler:
     """Memoize LanPaintSampler per (model, static hyperparameters).
 
     The node-style entry points (ksampler etc.) are called per request;
@@ -280,11 +280,12 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
 
     key = (id(model), _dc.astuple(
         _dc.replace(config, distance_fn=None)), config.distance_fn,
-        sampler_name, float(cfg), prompt_mode)
+        sampler_name, float(cfg), prompt_mode, sequential_cfg)
     sam = _SAMPLER_CACHE.get(key)
     if sam is None:
         sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
-                              cfg=cfg, prompt_mode=prompt_mode)
+                              cfg=cfg, prompt_mode=prompt_mode,
+                              sequential_cfg=sequential_cfg)
         _SAMPLER_CACHE[key] = sam
     return sam
 
@@ -312,12 +313,14 @@ def ksampler(
     prompt_mode: str = "Image First",
     video: bool = False,
     chunk_steps: Optional[int] = None,
+    sequential_cfg: bool = False,
 ):
     """LanPaint_KSampler equivalent: simple API with reference defaults
     (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
     reference nodes.py:329-336)."""
     config = LanPaintConfig(n_steps=num_steps)
-    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
+                          sequential_cfg)
     sigmas = _build_sigmas(model, scheduler, steps, denoise)
     samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
                      uncond=negative, mask=mask, seed=seed, video=video,
@@ -352,6 +355,7 @@ def ksampler_advanced(
     inner_patience: int = 1,
     video: bool = False,
     chunk_steps: Optional[int] = None,
+    sequential_cfg: bool = False,
 ):
     """LanPaint_KSamplerAdvanced equivalent: full hyperparameter surface
     (reference nodes.py:350-413)."""
@@ -367,7 +371,8 @@ def ksampler_advanced(
         return latent
     if not return_with_leftover_noise:
         sigmas[-1] = 0.0
-    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
+                          sequential_cfg)
     samples, _ = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
                      uncond=negative, mask=mask, seed=noise_seed,
                      add_noise=add_noise, video=video,
@@ -391,11 +396,13 @@ def sample_custom(
     prompt_mode: str = "Image First",
     video: bool = False,
     chunk_steps: Optional[int] = None,
+    sequential_cfg: bool = False,
 ):
     """LanPaint_SamplerCustom equivalent: caller-supplied sigma ladder;
     returns (output, denoised_output) (reference nodes.py:491-556)."""
     config = LanPaintConfig(n_steps=num_steps)
-    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
+                          sequential_cfg)
     samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
                            uncond=negative, mask=mask, seed=noise_seed,
                            add_noise=add_noise, video=video,
@@ -429,6 +436,7 @@ def sample_custom_advanced(
     inner_patience: int = 1,
     video: bool = False,
     chunk_steps: Optional[int] = None,
+    sequential_cfg: bool = False,
 ):
     """LanPaint_SamplerCustomAdvanced equivalent: full knobs + custom sigmas
     + caller-supplied noise (reference nodes.py:558-626)."""
@@ -437,7 +445,8 @@ def sample_custom_advanced(
         friction=friction, outer_early_stop=early_stop,
         inner_threshold=inner_threshold, inner_patience=inner_patience,
     )
-    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode)
+    sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
+                          sequential_cfg)
     samples, den_all = sam(latent=latent, sigmas=sigmas, cond=positive,
                            uncond=negative, mask=mask, seed=noise_seed,
                            noise=noise, video=video,

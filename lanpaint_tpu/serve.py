@@ -51,6 +51,9 @@ class Variant:
     # Bound single-execution device time (docs/serving.md "Chunked
     # launches"); None = one launch.  Set for video-scale variants.
     chunk_steps: Optional[int] = None
+    # Sequential cond/uncond passes — faster at 1024px+ and halves peak
+    # activation memory (docs/serving.md "Video-scale CFG").
+    sequential_cfg: bool = False
 
 
 @dataclass
@@ -239,7 +242,8 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
             image=images, mask=masks, positive=positive, negative=negative,
             seed=batch[0].seed, steps=v.steps, cfg=v.cfg,
             sampler_name=v.sampler_name, scheduler=v.scheduler,
-            num_steps=v.num_steps, chunk_steps=v.chunk_steps)
+            num_steps=v.num_steps, chunk_steps=v.chunk_steps,
+            sequential_cfg=v.sequential_cfg)
         outs = np.asarray(outs)
         return [outs[i] for i in range(n)]
 
