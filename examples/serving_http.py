@@ -29,6 +29,7 @@ import numpy as np
 from common import example_argparser, report  # noqa: F401 (path bootstrap)
 from lanpaint_tpu.serve import (
     InpaintServer, Request, Variant, make_http_server, pipeline_runner,
+    pipeline_validator,
 )
 
 
@@ -76,17 +77,21 @@ def main():
                    help="submit two in-process requests and exit")
     args = p.parse_args()
 
+    validator = None
     if args.checkpoint:
         from lanpaint_tpu.pipeline import LanPaintPipeline
 
         pipe = LanPaintPipeline.from_single_file(
             args.checkpoint, vocab=args.vocab, merges=args.merges)
         runner = pipeline_runner(pipe, batch_size=args.batch_size)
+        # reject shape-mismatched requests at submit time so one bad
+        # payload can't fail its co-batched lanes
+        validator = pipeline_validator(args.batch_size)
     else:
         runner = smoke_runner(args.batch_size)
 
     server = InpaintServer(runner, batch_size=args.batch_size,
-                           max_delay_s=0.05)
+                           max_delay_s=0.05, validator=validator)
 
     if args.selftest:
         mask = np.zeros((128, 128), np.float32)

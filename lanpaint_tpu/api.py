@@ -180,10 +180,14 @@ class LanPaintSampler:
         `chunk_steps`: run the sigma ladder as ceil(steps/chunk) jitted
         launches of at most `chunk_steps` outer steps each instead of one.
         Bit-identical to the single launch for history-free solvers
-        (euler/euler_ancestral/ddpm/dpmpp_sde/er_sde/seeds — the per-step
-        RNG stream, outer early stop and callbacks carry the global step
-        index); multistep solvers (dpmpp_2m/3m, deis, res_multistep,
-        gradient_estimation) restart their history at each boundary.  Use
+        (euler, euler_ancestral, heun, dpm_2(_ancestral), ddpm, dpmpp_sde,
+        seeds_2/3 — the per-step RNG stream, outer early stop and callbacks
+        carry the global step index).  History-carrying solvers (dpmpp_2m,
+        dpmpp_2m/3m_sde, res_multistep(_ancestral), gradient_estimation,
+        er_sde) restart their multistep state at each boundary, and deis
+        additionally re-tapers its order inside each segment — quality
+        approximations, not bit-identical.  dpm_fast and heunpp2 reject
+        chunking (their update reads the full ladder).  Use
         at video scale: bounds single-execution device time (the remote-TPU
         transport kills executions beyond ~1 min) and gives the serving
         layer per-chunk progress/cancellation points.
@@ -217,9 +221,13 @@ class LanPaintSampler:
         total = int(sigmas.shape[0]) - 1
         denoise_mask = (None if mask is None
                         else prepare_mask(mask, latent.shape, video))
-        if chunk_steps is not None and self.sampler_name == "dpm_fast":
-            raise ValueError("chunk_steps is not supported with dpm_fast "
-                             "(its order-3 step groups span the full ladder)")
+        if chunk_steps is not None and self.sampler_name in (
+                "dpm_fast", "heunpp2"):
+            raise ValueError(
+                f"chunk_steps is not supported with {self.sampler_name}: "
+                "its update reads the full sigma ladder (dpm_fast order "
+                "groups / heunpp2 sigma0+s_end weights), so a segment-local "
+                "ladder silently changes the algorithm")
         chunk = total if not chunk_steps else max(1, int(chunk_steps))
         if total <= 0:
             return (inverse_noise_scaling(kind, sigmas[-1:], x_init),
@@ -278,7 +286,10 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
     """
     import dataclasses as _dc
 
-    key = (id(model), _dc.astuple(
+    # id(model.params) is part of the key: Denoiser is mutable, and a
+    # LoRA merge / expert swap replaces the params tree — a cache hit on
+    # the old tree would silently sample with stale device-pinned weights.
+    key = (id(model), id(model.params), _dc.astuple(
         _dc.replace(config, distance_fn=None)), config.distance_fn,
         sampler_name, float(cfg), prompt_mode, sequential_cfg)
     sam = _SAMPLER_CACHE.get(key)
@@ -287,6 +298,10 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
                               cfg=cfg, prompt_mode=prompt_mode,
                               sequential_cfg=sequential_cfg)
         _SAMPLER_CACHE[key] = sam
+        # Bounded: each entry pins a device-resident weight copy; evict the
+        # oldest beyond 8 variants (dict preserves insertion order).
+        while len(_SAMPLER_CACHE) > 8:
+            _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
     return sam
 
 
@@ -314,17 +329,19 @@ def ksampler(
     video: bool = False,
     chunk_steps: Optional[int] = None,
     sequential_cfg: bool = False,
+    noise: Optional[jnp.ndarray] = None,
 ):
     """LanPaint_KSampler equivalent: simple API with reference defaults
     (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
-    reference nodes.py:329-336)."""
+    reference nodes.py:329-336).  `noise` overrides the seed-derived
+    initial noise (e.g. per-lane seeded noise in a served batch)."""
     config = LanPaintConfig(n_steps=num_steps)
     sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
                           sequential_cfg)
     sigmas = _build_sigmas(model, scheduler, steps, denoise)
     samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
                      uncond=negative, mask=mask, seed=seed, video=video,
-                     chunk_steps=chunk_steps)
+                     chunk_steps=chunk_steps, noise=noise)
     return samples
 
 

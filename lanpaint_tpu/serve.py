@@ -115,10 +115,15 @@ class InpaintServer:
 
     def __init__(self, runner: Callable[[List[Request]], List[Any]], *,
                  batch_size: int = 4, max_delay_s: float = 0.05,
-                 max_queue: int = 256):
+                 max_queue: int = 256,
+                 validator: Optional[Callable[[Request], None]] = None):
+        # validator(req) raises to reject a request at submit time — BEFORE
+        # it can join a batch.  Shape mismatches must fail the one bad
+        # request, not every co-batched lane (see pipeline_validator).
         self.runner = runner
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
+        self.validator = validator
         self.stats = Stats()
         self._q: "queue.Queue[Optional[Request]]" = queue.Queue(max_queue)
         self._pending: List[Request] = []  # same-variant carryover
@@ -132,13 +137,38 @@ class InpaintServer:
         fut: Future = Future()
         req._future = fut
         req._t_submit = time.monotonic()
+        if self._stop.is_set():
+            fut.set_exception(RuntimeError("server is closed"))
+            return fut
+        if self.validator is not None:
+            try:
+                self.validator(req)
+            except Exception as e:  # noqa: BLE001 — reject just this request
+                fut.set_exception(e)
+                self.stats.record_error()
+                return fut
         self._q.put(req)
         return fut
 
-    def close(self, timeout: float = 10.0):
+    def close(self, timeout: float = 600.0):
+        """Stop the worker (waits for the in-flight batch — sampler batches
+        run minutes on video variants, so the default timeout is generous)
+        and fail any still-queued futures instead of abandoning them."""
         self._stop.set()
         self._q.put(None)
         self._worker.join(timeout)
+        leftovers = list(self._pending)
+        self._pending.clear()
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                leftovers.append(r)
+        for r in leftovers:
+            if r._future is not None and not r._future.done():
+                r._future.set_exception(RuntimeError("server closed"))
 
     # ------------------------------------------------------------- worker
     def _take_batch(self) -> List[Request]:
@@ -208,16 +238,43 @@ class InpaintServer:
 
 
 # ---------------------------------------------------------------- runners
+def pipeline_validator(batch_size: int = 4):
+    """Submit-time request validation for pipeline_runner: shape mismatches
+    must fail the ONE offending request, never its co-batched lanes."""
+    import numpy as np
+
+    def validate(req: Request):
+        v = req.variant
+        img = np.asarray(req.image)
+        if img.shape != (3, v.height, v.width):
+            raise ValueError(
+                f"image shape {img.shape} does not match variant "
+                f"(3, {v.height}, {v.width})")
+        m = np.asarray(req.mask)
+        if m.shape != (v.height, v.width):
+            raise ValueError(
+                f"mask shape {m.shape} does not match variant "
+                f"({v.height}, {v.width})")
+
+    return validate
+
+
 def pipeline_runner(pipeline, *, batch_size: int = 4):
     """Adapt a LanPaintPipeline to the server's list-of-requests contract.
 
-    Per-lane prompts are encoded individually and their conditioning dicts
-    stacked along the batch axis; per-lane masks ride the (B, H, W) mask
-    path.  Partial batches are padded by repeating lane 0 (static shapes,
-    never recompiles) and the padding sliced off the result.  image:
+    Per-lane prompts are encoded once each (padding lanes REUSE lane 0's
+    conditioning — no duplicate encoder work) and stacked along the batch
+    axis; per-lane masks ride the (B, H, W) mask path; per-lane seeds feed
+    per-lane initial/think noise (deterministic per request for the
+    deterministic solvers; ancestral/SDE solvers additionally draw
+    per-step noise from the shared batch key, so their lanes also depend
+    on co-batch composition).  Partial batches are padded by repeating
+    lane 0 (static shapes, never recompiles) and the padding sliced off
+    the result.  `batch_size` MUST equal the server's — checked.  image:
     (3, H, W) in [-1, 1] per request; mask: (H, W), 1 = repaint.
     """
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     def _stack_conds(conds: List[Any]):
@@ -228,13 +285,26 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
     def run(batch: List[Request]) -> List[Any]:
         v = batch[0].variant
         n = len(batch)
+        if n > batch_size:
+            raise RuntimeError(
+                f"runner compiled for batch_size={batch_size} got {n} "
+                "requests — pass the same batch_size to InpaintServer and "
+                "pipeline_runner")
         pad = batch_size - n
         lanes = batch + [batch[0]] * pad
         images = np.stack([np.asarray(r.image, np.float32) for r in lanes])
         masks = np.stack([np.asarray(r.mask, np.float32) for r in lanes])
-        positive = _stack_conds([pipeline.encode(r.prompt) for r in lanes])
-        negative = _stack_conds(
-            [pipeline.encode(r.negative_prompt) for r in lanes])
+        pos = [pipeline.encode(r.prompt) for r in batch]
+        neg = [pipeline.encode(r.negative_prompt) for r in batch]
+        positive = _stack_conds(pos + [pos[0]] * pad)
+        negative = _stack_conds(neg + [neg[0]] * pad)
+        # per-lane seeded initial noise at the latent grid (VAE stride 8)
+        lat_hw = (getattr(pipeline.model, "latent_channels", 4),
+                  v.height // 8, v.width // 8)
+        noise = np.stack([
+            np.asarray(jax.random.normal(jax.random.PRNGKey(r.seed), lat_hw,
+                                         jnp.float32))
+            for r in lanes])
         from .api import inpaint_image
 
         outs = inpaint_image(
@@ -243,11 +313,14 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
             seed=batch[0].seed, steps=v.steps, cfg=v.cfg,
             sampler_name=v.sampler_name, scheduler=v.scheduler,
             num_steps=v.num_steps, chunk_steps=v.chunk_steps,
-            sequential_cfg=v.sequential_cfg)
+            sequential_cfg=v.sequential_cfg, noise=jnp.asarray(noise))
         outs = np.asarray(outs)
         return [outs[i] for i in range(n)]
 
     return run
+
+
+
 
 
 # ---------------------------------------------------------------- HTTP API

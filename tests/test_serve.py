@@ -163,3 +163,86 @@ def test_pipeline_runner_stacks_and_pads():
     assert seen["positive"]["context"][1, 0, 0] == 4.0
     np.testing.assert_array_equal(outs[0], np.full((3, 2, 2), 2.0))
     np.testing.assert_array_equal(outs[1], np.full((3, 2, 2), 4.0))
+
+
+def test_validator_rejects_only_bad_request():
+    from lanpaint_tpu.serve import pipeline_validator
+
+    srv = InpaintServer(lambda b: ["ok"] * len(b), batch_size=2,
+                        max_delay_s=0.05, validator=pipeline_validator())
+    v = Variant(height=16, width=16)
+    good = Request(image=np.zeros((3, 16, 16), np.float32),
+                   mask=np.zeros((16, 16), np.float32), variant=v)
+    bad = Request(image=np.zeros((3, 8, 8), np.float32),
+                  mask=np.zeros((16, 16), np.float32), variant=v)
+    fb = srv.submit(bad)
+    fg = srv.submit(good)
+    with pytest.raises(ValueError, match="image shape"):
+        fb.result(5)
+    assert fg.result(5) == "ok"          # good lane unaffected
+    srv.close()
+
+
+def test_close_fails_queued_futures():
+    import threading as _t
+
+    gate = _t.Event()
+
+    def slow_runner(batch):
+        gate.wait(10)
+        return ["done"] * len(batch)
+
+    srv = InpaintServer(slow_runner, batch_size=1, max_delay_s=0.01)
+    first = srv.submit(Request(prompt="a"))      # occupies the worker
+    time.sleep(0.1)
+    queued = srv.submit(Request(prompt="b"))     # waits in queue
+    gate.set()
+    srv.close(timeout=5)
+    # graceful close: work accepted before close() still completes ...
+    assert first.result(5) == "done"
+    assert queued.result(5) == "done"
+    # ... but submissions after close fail immediately instead of hanging
+    late = srv.submit(Request(prompt="c"))
+    with pytest.raises(RuntimeError, match="closed"):
+        late.result(5)
+
+
+def test_pipeline_runner_per_lane_seeds():
+    """Distinct request seeds must produce distinct per-lane initial noise
+    (review finding: batch[0].seed silently applied to every lane)."""
+    seen = {}
+
+    class FakePipe:
+        model = type("M", (), {"latent_channels": 4})()
+        vae_module = "V"
+        vae_params = "P"
+
+        def encode(self, prompt):
+            return {"context": np.zeros((1, 2, 3), np.float32)}
+
+    import lanpaint_tpu.api as api_mod
+    import lanpaint_tpu.serve as serve_mod
+
+    def fake_inpaint_image(model, vae_module, vae_params, *, image, mask,
+                           positive, negative, noise=None, **kw):
+        seen["noise"] = np.asarray(noise)
+        return image
+
+    orig = api_mod.inpaint_image
+    api_mod.inpaint_image = fake_inpaint_image
+    try:
+        run = serve_mod.pipeline_runner(FakePipe(), batch_size=2)
+        v = Variant(height=16, width=16)
+        reqs = [Request(prompt="a", seed=1, variant=v,
+                        image=np.zeros((3, 16, 16), np.float32),
+                        mask=np.ones((16, 16), np.float32)),
+                Request(prompt="b", seed=2, variant=v,
+                        image=np.zeros((3, 16, 16), np.float32),
+                        mask=np.ones((16, 16), np.float32))]
+        run(reqs)
+    finally:
+        api_mod.inpaint_image = orig
+
+    noise = seen["noise"]
+    assert noise.shape == (2, 4, 2, 2)
+    assert not np.allclose(noise[0], noise[1])   # per-lane seeds differ
