@@ -239,10 +239,17 @@ class LanPaintSampler:
             # host-resident jit arguments re-upload on EVERY launch, and on
             # the tunneled TPU backend that transfer dwarfs the compute
             # (measured: ~130 s/launch for ~15 MB of latent+noise+mask).
-            latent, think_noise = jax.device_put((latent, think_noise))
-            cond, uncond = jax.device_put((cond, uncond))
+            # Arrays already sharded over a multi-chip mesh are left alone —
+            # a bare device_put would re-place them on one device.
+            def _pin(a):
+                if isinstance(a, jax.Array) and len(a.sharding.device_set) > 1:
+                    return a
+                return jax.device_put(a)
+
+            latent, think_noise = jax.tree.map(_pin, (latent, think_noise))
+            cond, uncond = jax.tree.map(_pin, (cond, uncond))
             if denoise_mask is not None:
-                denoise_mask = jax.device_put(denoise_mask)
+                denoise_mask = _pin(denoise_mask)
         x = x_init
         den_parts = []
         for start in range(0, total, chunk):
