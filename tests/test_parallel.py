@@ -220,3 +220,29 @@ def test_seq_plus_tensor_parallel_wan_matches_single_device():
         out = den_sp.raw_apply(den_sp.params, x, t, cond)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_launches_preserve_sharding():
+    """chunk_steps under a mesh: the chunk-loop device pin must leave
+    mesh-sharded inputs in place (a bare device_put would gather them onto
+    one device) and match the single launch exactly."""
+    assert jax.device_count() >= 8
+    mesh = make_mesh(MeshSpec(data=8))
+    toy = _toy()
+    latent = jnp.tile(jnp.full((1, 4, 8, 8), 2.0, jnp.float32), (8, 1, 1, 1))
+    mask = jnp.zeros((8, 4, 8, 8), jnp.float32).at[:, :, :, 4:].set(1.0)
+    sigmas = jnp.asarray(karras(6, 0.03, 14.6), jnp.float32)
+    cond = jnp.zeros((8, 1), jnp.float32)
+
+    sam = LanPaintSampler(toy, config=LanPaintConfig(n_steps=2),
+                          sampler_name="euler", cfg=1.0)
+    latent_s = shard_batch(mesh, latent)
+    mask_s = shard_batch(mesh, mask)
+    cond_s = shard_batch(mesh, cond)
+    out_1, _ = sam(latent=latent_s, sigmas=sigmas, cond=cond_s, mask=mask_s,
+                   seed=0)
+    out_c, _ = sam(latent=latent_s, sigmas=sigmas, cond=cond_s, mask=mask_s,
+                   seed=0, chunk_steps=2)
+    np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_1))
+    shard_devs = {s.device.id for s in out_c.addressable_shards}
+    assert len(shard_devs) == 8
