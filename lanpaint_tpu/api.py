@@ -106,7 +106,7 @@ class LanPaintSampler:
 
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,
                      denoise_mask, cond, uncond, key, tables,
-                     step_offset, total_steps):
+                     step_offset, total_steps, carry_in):
         # step_offset/total_steps: global position of this (possibly
         # chunked) ladder segment — the RNG stream, outer-early-stop index
         # and callback step numbers stay those of the single-launch
@@ -139,10 +139,11 @@ class LanPaintSampler:
         return samplers.sample(
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
             callback=self.callback, tables=tables, step_offset=step_offset,
+            carry_in=carry_in, return_carry=True,
         )
 
     def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables,
-                   step_offset):
+                   step_offset, carry_in):
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
 
@@ -156,6 +157,7 @@ class LanPaintSampler:
         return samplers.sample(
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
             callback=self.callback, tables=tables, step_offset=step_offset,
+            carry_in=carry_in, return_carry=True,
         )
 
     # -- runtime entry -----------------------------------------------------
@@ -179,18 +181,17 @@ class LanPaintSampler:
 
         `chunk_steps`: run the sigma ladder as ceil(steps/chunk) jitted
         launches of at most `chunk_steps` outer steps each instead of one.
-        Bit-identical to the single launch for history-free solvers
-        (euler, euler_ancestral, heun, dpm_2(_ancestral), ddpm, dpmpp_sde,
-        seeds_2/3 — the per-step RNG stream, outer early stop and callbacks
-        carry the global step index).  History-carrying solvers (dpmpp_2m,
-        dpmpp_2m/3m_sde, res_multistep(_ancestral), gradient_estimation,
-        er_sde) restart their multistep state at each boundary, and deis
-        additionally re-tapers its order inside each segment — quality
-        approximations, not bit-identical.  dpm_fast and heunpp2 reject
-        chunking (their update reads the full ladder).  Use
-        at video scale: bounds single-execution device time (the remote-TPU
-        transport kills executions beyond ~1 min) and gives the serving
-        layer per-chunk progress/cancellation points.
+        Bit-identical to the single launch for every solver: the per-step
+        RNG stream, outer early stop and callbacks carry the global step
+        index; the multistep history (dpmpp_2m, dpmpp_2m/3m_sde,
+        res_multistep(_ancestral), gradient_estimation, er_sde, deis) is
+        threaded across segment boundaries as a SolverCarry, and deis
+        coefficients are precomputed from the FULL ladder then sliced per
+        segment.  Only dpm_fast and heunpp2 reject chunking (their update
+        reads the full ladder at once).  Use at video scale: bounds
+        single-execution device time (the remote-TPU transport kills
+        executions beyond ~1 min) and gives the serving layer per-chunk
+        progress/cancellation points.
         """
         latent = jnp.asarray(latent)
         sigmas = jnp.asarray(sigmas, jnp.float32)
@@ -251,20 +252,25 @@ class LanPaintSampler:
             if denoise_mask is not None:
                 denoise_mask = _pin(denoise_mask)
         x = x_init
+        carry = samplers.init_carry(x_init)
         den_parts = []
+        # deis coefficients come from the FULL ladder (then sliced per
+        # segment) so chunked launches see the same per-step rows as the
+        # single launch — segment-local ladders would re-taper the order.
+        full_tables = samplers.prepare_tables(self.sampler_name, sig_host)
         for start in range(0, total, chunk):
             end = min(start + chunk, total)
             seg = sigmas[start:end + 1]
-            tables = samplers.prepare_tables(self.sampler_name,
-                                             sig_host[start:end + 1])
+            tables = {k: v[start:end] for k, v in full_tables.items()}
             if denoise_mask is None:
-                x, den = self._jit_plain(params, x, seg, cond, uncond,
-                                         k_solve, tables, jnp.int32(start))
+                x, den, carry = self._jit_plain(
+                    params, x, seg, cond, uncond, k_solve, tables,
+                    jnp.int32(start), carry)
             else:
-                x, den = self._jit_inpaint(
+                x, den, carry = self._jit_inpaint(
                     params, x, think_noise, seg, latent, denoise_mask, cond,
                     uncond, k_solve, tables, jnp.int32(start),
-                    jnp.int32(total))
+                    jnp.int32(total), carry)
             den_parts.append(den)
 
         samples = inverse_noise_scaling(kind, sigmas[-1:], x)
@@ -299,16 +305,18 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
     key = (id(model), id(model.params), _dc.astuple(
         _dc.replace(config, distance_fn=None)), config.distance_fn,
         sampler_name, float(cfg), prompt_mode, sequential_cfg)
-    sam = _SAMPLER_CACHE.get(key)
+    # LRU: a hit re-inserts at the end so a serving mix of >8 variants
+    # evicts the coldest compiled program, not the hottest.
+    sam = _SAMPLER_CACHE.pop(key, None)
     if sam is None:
         sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
                               cfg=cfg, prompt_mode=prompt_mode,
                               sequential_cfg=sequential_cfg)
-        _SAMPLER_CACHE[key] = sam
-        # Bounded: each entry pins a device-resident weight copy; evict the
-        # oldest beyond 8 variants (dict preserves insertion order).
-        while len(_SAMPLER_CACHE) > 8:
-            _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
+    _SAMPLER_CACHE[key] = sam
+    # Bounded: each entry pins a device-resident weight copy; evict the
+    # least-recently-used beyond 8 variants (dict preserves insertion order).
+    while len(_SAMPLER_CACHE) > 8:
+        _SAMPLER_CACHE.pop(next(iter(_SAMPLER_CACHE)))
     return sam
 
 

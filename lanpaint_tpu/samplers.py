@@ -49,6 +49,18 @@ class SolverCarry(NamedTuple):
     nhist: jnp.ndarray   # int32: number of valid history entries
 
 
+def init_carry(x: jnp.ndarray) -> SolverCarry:
+    """Fresh solver state for a ladder starting at latent `x`.
+
+    Exposed so chunked launches (api.LanPaintSampler chunk_steps) can thread
+    the multistep history across segment boundaries instead of restarting it.
+    """
+    zero = jnp.zeros_like(x)
+    return SolverCarry(x=x, hist1=zero, hist2=zero,
+                       h1=jnp.float32(0.0), h2=jnp.float32(0.0),
+                       nhist=jnp.int32(0))
+
+
 def _to_d(x, sigma, denoised):
     return (x - denoised) / jnp.maximum(sigma, 1e-10)
 
@@ -450,7 +462,9 @@ def _er_sde(model, c, s, sn, i, key):
     den_u = (den_d - c.hist2) / jnp.where(c.nhist >= 2, (s - c.h2) / 2.0, 1.0)
     x3 = x2 + (dt**2 / 2.0 + s_u * _er_psi(sn)) * den_u
 
-    stage = jnp.minimum(3, i + 1)
+    # Stage from the carried history count (== i+1 un-chunked) so chunked
+    # launches that thread the carry keep the same stage schedule.
+    stage = jnp.minimum(3, c.nhist + 1)
     x_new = jnp.where(stage >= 3, x3, jnp.where(stage >= 2, x2, x1))
     noise_amt = jnp.sqrt(jnp.maximum(sn**2 - s**2 * r**2, 0.0))
     x_new = x_new + _noise_like(x_new, jax.random.fold_in(key, 0)) * noise_amt
@@ -620,10 +634,14 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback):
         k = jax.random.fold_in(key, g)
         fn = _dpm2 if o == 2 else _dpm1
         x, den = fn(model, x, ts[bounds[g]], ts[bounds[g + 1]], k, 100)
+        if callback is not None:
+            jax.debug.callback(callback, g, den, x, ordered=False)
         dens.append(den[None])
     # final denoise at the ladder floor (sigma -> 0 step)
     den, x = model(x, sigma_min, jax.random.fold_in(key, 9999))
     x = den
+    if callback is not None:
+        jax.debug.callback(callback, len(orders), den, x, ordered=False)
     dens.append(den[None])
     return x, jnp.concatenate(dens, axis=0)
 
@@ -647,6 +665,8 @@ def sample(
     callback=None,
     tables: dict = None,
     step_offset=0,
+    carry_in: SolverCarry = None,
+    return_carry: bool = False,
 ):
     """Run the full outer sampling loop as one `lax.scan`.
 
@@ -655,9 +675,18 @@ def sample(
     Returns (samples, all_denoised) where all_denoised[i] is the x0
     prediction of step i (feeds previews / the custom-sampler
     `denoised_output`, reference nodes.py:543-556).
+
+    `carry_in`/`return_carry`: thread the solver's multistep state across
+    chunked launches — pass the carry returned by the previous segment (with
+    `noise_x` = its output latent) so dpmpp_2m-style history solvers are
+    bit-identical to the single launch.  With `return_carry` the result is
+    (samples, all_denoised, carry).
     """
     if sampler == "dpm_fast":
-        return _sample_dpm_fast(model, noise_x, sigmas, key, callback)
+        x, dens = _sample_dpm_fast(model, noise_x, sigmas, key, callback)
+        if return_carry:
+            return x, dens, init_carry(x)
+        return x, dens
     step_fn = get_solver(sampler)
     if sampler == "deis" and (tables is None or "deis" not in tables):
         if isinstance(sigmas, jax.core.Tracer):
@@ -665,11 +694,8 @@ def sample(
                 "deis under jit needs host-precomputed coefficients: pass "
                 "tables=prepare_tables('deis', concrete_sigmas)")
         tables = prepare_tables("deis", sigmas)
-    zero = jnp.zeros_like(noise_x)
-    carry0 = SolverCarry(
-        x=noise_x, hist1=zero, hist2=zero,
-        h1=jnp.float32(0.0), h2=jnp.float32(0.0), nhist=jnp.int32(0),
-    )
+    carry0 = (init_carry(noise_x) if carry_in is None
+              else carry_in._replace(x=noise_x))
     n = sigmas.shape[0] - 1
     idx = jnp.arange(n)
 
@@ -696,4 +722,6 @@ def sample(
         return carry, den
 
     carry, denoised_all = lax.scan(body, carry0, idx)
+    if return_carry:
+        return carry.x, denoised_all, carry
     return carry.x, denoised_all

@@ -205,11 +205,18 @@ def test_node_entry_points_reuse_compiled_sampler():
     assert s3 is not s1
 
 
-@pytest.mark.parametrize("sampler_name", ["euler", "euler_ancestral"])
+@pytest.mark.parametrize("sampler_name", [
+    "euler", "euler_ancestral",
+    # history-carrying solvers: SolverCarry + full-ladder deis tables are
+    # threaded across segment boundaries, so these must be bit-identical too
+    "dpmpp_2m", "dpmpp_3m_sde", "res_multistep", "er_sde",
+    "gradient_estimation", "deis",
+])
 def test_chunked_launches_match_single_launch(sampler_name):
-    """chunk_steps splits the ladder into multiple jitted launches; for
-    history-free solvers the result must equal the single launch exactly
-    (same per-step RNG stream, same outer-early-stop indices)."""
+    """chunk_steps splits the ladder into multiple jitted launches; the
+    result must equal the single launch exactly (same per-step RNG stream,
+    same outer-early-stop indices, multistep history threaded across
+    boundaries)."""
     from lanpaint_tpu.api import LanPaintSampler
     from lanpaint_tpu.config import LanPaintConfig
     from lanpaint_tpu.sigmas import calculate_sigmas
