@@ -78,6 +78,25 @@ def seq_sharding(mesh: Mesh, ndim: int, seq_axis: int) -> NamedSharding:
     return NamedSharding(mesh, P(*spec))
 
 
+def tp_param_shardings(mesh: Mesh, params, rules):
+    """NamedSharding pytree under `shard_params_tp`'s rules — no placement.
+
+    Works on real params or a `jax.eval_shape` tree; feeds jit
+    `in_shardings` (the GSPMD path) and capacity planning for models too
+    large to initialize (the Wan2.2-14B pair)."""
+
+    def leaf(path, p):
+        name = "/".join(
+            k.key if hasattr(k, "key") else str(k) for k in path
+        )
+        for pred, spec in rules:
+            if pred(name):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
 def shard_params_tp(mesh: Mesh, params, rules):
     """Megatron-style tensor-parallel weight sharding.
 
@@ -86,17 +105,43 @@ def shard_params_tp(mesh: Mesh, params, rules):
     First matching rule wins; unmatched leaves are replicated.  XLA SPMD then
     inserts the psum/all-gather collectives at the row-sharded projections.
     """
+    shardings = tp_param_shardings(mesh, params, rules)
+    return jax.tree.map(jax.device_put, params, shardings)
 
-    def leaf(path, p):
-        name = "/".join(
-            k.key if hasattr(k, "key") else str(k) for k in path
-        )
+
+def tp_plan_bytes(params_shapes, rules, axis_sizes: dict,
+                  dtype_bytes: int = 2) -> int:
+    """Per-device parameter bytes under `shard_params_tp`'s rules, computed
+    from a `jax.eval_shape` pytree — no materialization.
+
+    This is the capacity-planning half of the TP story: it answers "does the
+    Wan2.2-14B expert pair fit a 16 GB v5e at tensor=K?" without initializing
+    28 GB of weights.  `axis_sizes` maps mesh axis name -> size (e.g.
+    {"tensor": 4}); `dtype_bytes` is the deployed weight width (bf16 = 2).
+    Unmatched leaves are counted replicated, matching shard_params_tp.
+    """
+
+    def leaf_bytes(path, p):
+        name = "/".join(k.key if hasattr(k, "key") else str(k) for k in path)
+        shape = list(p.shape)
         for pred, spec in rules:
             if pred(name):
-                return jax.device_put(p, NamedSharding(mesh, spec))
-        return jax.device_put(p, NamedSharding(mesh, P()))
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    names = (axis,) if isinstance(axis, str) else tuple(axis)
+                    div = 1
+                    for a in names:
+                        div *= axis_sizes.get(a, 1)
+                    shape[dim] = -(-shape[dim] // div)
+                break
+        n = 1
+        for s in shape:
+            n *= int(s)
+        return n * dtype_bytes
 
-    return jax.tree_util.tree_map_with_path(leaf, params)
+    leaves = jax.tree_util.tree_map_with_path(leaf_bytes, params_shapes)
+    return sum(jax.tree.leaves(leaves))
 
 
 def wan_tp_rules():

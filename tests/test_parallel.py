@@ -246,3 +246,51 @@ def test_chunked_launches_preserve_sharding():
     np.testing.assert_array_equal(np.asarray(out_c), np.asarray(out_1))
     shard_devs = {s.device.id for s in out_c.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_wan14b_pair_multichip_plan():
+    """The reference's actual benchmark model (Wan2.2 t2v 14B high+low pair,
+    reference README.md:219-266) must have a validated multi-chip execution
+    plan: per-device weight bytes fit a v5e (16 GB) under the TP rules, and
+    a tiny-frame forward with the FULL-SIZE config's structure compiles
+    through GSPMD on the 8-device mesh — no 28 GB init required
+    (`jax.eval_shape` shape trees only)."""
+    import math
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lanpaint_tpu.models.wan import WAN22_T2V_14B_CONFIG, WanModel
+    from lanpaint_tpu.parallel.mesh import (
+        tp_param_shardings, tp_plan_bytes, wan_tp_rules,
+    )
+
+    cfg = WAN22_T2V_14B_CONFIG
+    module = WanModel(cfg)
+    b = 1
+    x = jax.ShapeDtypeStruct((b, cfg.in_channels, 2, 16, 16), jnp.bfloat16)
+    t = jax.ShapeDtypeStruct((b,), jnp.float32)
+    ctx = jax.ShapeDtypeStruct((b, 64, cfg.context_dim), jnp.bfloat16)
+    pshape = jax.eval_shape(module.init, jax.random.PRNGKey(0), x, t, ctx)
+
+    n_params = sum(math.prod(p.shape) for p in jax.tree.leaves(pshape))
+    assert 13.5e9 < n_params < 15.5e9, f"14B config has {n_params/1e9:.2f}B params"
+
+    v5e = 16 * 2**30
+    rules = wan_tp_rules()
+    per_dev_tp2 = tp_plan_bytes(pshape, rules, {"tensor": 2})
+    per_dev_tp4 = tp_plan_bytes(pshape, rules, {"tensor": 4})
+    # single expert fits at tensor=2; the resident high+low pair at tensor=4
+    assert per_dev_tp2 < v5e, f"tp2: {per_dev_tp2/2**30:.2f} GiB"
+    assert 2 * per_dev_tp4 < v5e, f"tp4 pair: {2*per_dev_tp4/2**30:.2f} GiB"
+    # sanity: sharding actually divides the big kernels (~2x per doubling)
+    assert per_dev_tp2 < 0.56 * tp_plan_bytes(pshape, rules, {"tensor": 1})
+
+    # structural compile: the full 14B topology through GSPMD (TP x SP mesh)
+    mesh = make_mesh(MeshSpec(data=1, seq=2, tensor=4),
+                     devices=jax.devices()[:8])
+    pshard = tp_param_shardings(mesh, pshape, rules)
+    xsh = NamedSharding(mesh, P(None, None, "seq", None, None))
+    fn = jax.jit(module.apply, in_shardings=(pshard, xsh, None, None),
+                 out_shardings=xsh)
+    compiled = fn.lower(pshape, x, t, ctx).compile()
+    assert compiled is not None
