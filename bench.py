@@ -2,21 +2,42 @@
 
 The BASELINE.json north star: "SDXL-1024 inpaint, 5 think-steps on TPU
 matching A100 wall-clock".  The reference publishes no SDXL latency, so the
-baseline is the reference's cost model applied to A100 hardware:
-(NumSteps+1) = 6 CFG-batched UNet forwards per outer step x 20 steps = 120
-forwards + 6 extra (heun-free euler tail) ~= 126 forwards of SDXL-1024 at
-batch 2; at the commonly-measured ~0.25 s/forward on A100 (fp16, 1024x1024,
-batch 2) that is ~31.5 s wall-clock.  vs_baseline reports
-baseline_seconds / measured_seconds (>1 means faster than the A100
-reference estimate).
+A100 number is an ESTIMATE from the reference's cost model: (NumSteps+1) = 6
+CFG-batched UNet forwards per outer step x 19 steps + 1 (outer early stop
+tail) = 115 pair-forwards of SDXL-1024; at the commonly-cited ~0.25 s per
+CFG pair on A100 (fp16, 1024x1024) that is ~28.8 s wall-clock.  vs_baseline
+reports baseline_seconds / measured_seconds (>1 = faster than the estimate).
+
+Judgable-performance fields (independent of that estimate):
+* per_forward_ms — wall-clock / single-model-forward count (2 per CFG pair;
+  sequential_cfg runs cond and uncond as separate batch-1 forwards).
+* model_tflops — XLA cost analysis of one SDXL-1024 batch-1 forward:
+  2.605 TFLOP (measured via jit(...).lower().compile().cost_analysis() on
+  the XLA-CPU backend, 2026-08-17; config-determined, so vendored as a
+  constant — recompute with scripts in docs/architecture.md if SDXL_CONFIG
+  changes).
+* mfu — model FLOPs utilization vs the v5e peak 197 TFLOP/s (bf16).
+
+fused_delta_s documents why LanPaintConfig.use_fused_kernels defaults to
+False: measured end-to-end on the chip (2026-08-17), the fused Pallas
+pointwise path is +0.88 s per run (15.91 s vs 15.03 s) — XLA already fuses
+the think-loop pointwise chain into adjacent ops, and the standalone kernel
+adds HBM materialization of its operands.  The 8x win of the kernel is real
+only for the isolated pointwise op (commit ec08c06), not the full program.
+Set LANPAINT_BENCH_FUSED=1 to re-measure both paths live.
+
+tpu_selftest runs tests/test_fused.py + tests/test_attention.py on the real
+chip (the CPU-only CI cannot see Pallas regressions) — ~20 s.  Disable with
+LANPAINT_BENCH_SELFTEST=0.
 
 Runs on the single real TPU chip; weights are random-init bf16 (timing is
-architecture-dependent, not weight-dependent).  A persistent JAX compilation
-cache under .jax_cache amortizes the first-compile cost across rounds.
+architecture-dependent, not weight-dependent).
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -31,14 +52,20 @@ jax.config.update(
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
-BASELINE_SECONDS = 31.5
 STEPS = 20
 THINK_STEPS = 5
+OUTER_EARLY_STOP = 1
+# pair-forwards: (think+1) per outer step, except the early-stop tail (1)
+PAIR_CALLS = (STEPS - OUTER_EARLY_STOP) * (THINK_STEPS + 1) + OUTER_EARLY_STOP
+FORWARDS = PAIR_CALLS * 2          # cond + uncond (sequential_cfg)
+SDXL_FWD_TFLOPS_B1 = 2.605         # XLA cost analysis, see module docstring
+V5E_PEAK_TFLOPS = 197.0            # bf16
+BASELINE_SECONDS = PAIR_CALLS * 0.25   # A100 estimate (see docstring)
+
+log = lambda m: print(m, file=sys.stderr, flush=True)
 
 
-def main():
-    import sys
-
+def _build_sampler(fused: bool):
     from lanpaint_tpu import LanPaintConfig, LanPaintSampler
     from lanpaint_tpu.models.unet import SDXL_CONFIG
     from lanpaint_tpu.models.zoo import build_unet
@@ -47,7 +74,6 @@ def main():
     import ml_dtypes
     import numpy as onp
 
-    log = lambda m: print(m, file=sys.stderr, flush=True)
     log("bench: init SDXL params (host)")
     den, params = build_unet(SDXL_CONFIG, init_hw=32, name="sdxl")
     # bf16 weights (TPU serving layout); cast on host — per-leaf device casts
@@ -73,7 +99,9 @@ def main():
     sigmas = jnp.asarray(calculate_sigmas(den_bf16.sigma_table, "karras", STEPS))
 
     sam = LanPaintSampler(
-        den_bf16, config=LanPaintConfig(n_steps=THINK_STEPS),
+        den_bf16,
+        config=LanPaintConfig(n_steps=THINK_STEPS, use_fused_kernels=fused,
+                              outer_early_stop=OUTER_EARLY_STOP),
         sampler_name="euler", cfg=5.0,
         # measured faster than the 2B-batched CFG pass at 1024px
         # (2 x 77.1 ms vs 161.7 ms per pair on v5e)
@@ -87,7 +115,12 @@ def main():
         # tunneled backend's block_until_ready can return early)
         return float(jnp.sum(out.astype(jnp.float32)))
 
-    log("bench: compile + warmup run")
+    return run
+
+
+def _time_path(fused: bool) -> float:
+    run = _build_sampler(fused)
+    log(f"bench: compile + warmup run (fused={fused})")
     t0 = time.perf_counter()
     run(0)
     log(f"bench: compile+first run {time.perf_counter() - t0:.1f}s; timing")
@@ -96,14 +129,48 @@ def main():
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)
-    secs = min(times)
+    return min(times)
 
-    print(json.dumps({
+
+def _tpu_selftest() -> str:
+    """Run the TPU-only Pallas/attention tests on the chip (CPU CI can't)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_fused.py",
+             "tests/test_attention.py", "-q", "-p", "no:cacheprovider"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=900,
+        )
+        if proc.returncode == 0:
+            return "pass"
+        return "fail: " + proc.stdout[-300:].replace("\n", " ")
+    except Exception as e:  # never fail the headline bench on the gate
+        return f"error: {e}"
+
+
+def main():
+    secs = _time_path(fused=False)
+    result = {
         "metric": "sdxl1024_inpaint_20x5think_wallclock",
         "value": round(secs, 3),
         "unit": "seconds",
         "vs_baseline": round(BASELINE_SECONDS / secs, 3),
-    }))
+        "baseline_note": f"A100 estimate {BASELINE_SECONDS:.1f}s "
+                         f"({PAIR_CALLS} pairs x ~0.25s folklore)",
+        "per_forward_ms": round(secs / FORWARDS * 1e3, 2),
+        "model_tflops": SDXL_FWD_TFLOPS_B1,
+        "mfu": round(FORWARDS * SDXL_FWD_TFLOPS_B1 / (secs * V5E_PEAK_TFLOPS), 4),
+        "fused": False,
+        "fused_delta_s": 0.88,  # measured 2026-08-17: 15.91 fused vs 15.03
+    }
+    if os.environ.get("LANPAINT_BENCH_FUSED") == "1":
+        secs_fused = _time_path(fused=True)
+        result["fused_delta_s"] = round(secs_fused - secs, 3)
+        result["fused_seconds"] = round(secs_fused, 3)
+    if os.environ.get("LANPAINT_BENCH_SELFTEST") != "0":
+        log("bench: running on-chip Pallas/attention selftest")
+        result["tpu_selftest"] = _tpu_selftest()
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
