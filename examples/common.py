@@ -57,7 +57,17 @@ def outpaint_mask(h: int, w: int, border_frac: float = 0.25) -> jnp.ndarray:
     return jnp.asarray(m)
 
 
-def report(name: str, out) -> None:
+def report(name: str, out, original=None, mask=None,
+           lpips_params=None) -> None:
+    """Print output stats; with `original` + `mask` also the masked-region
+    quality metrics (lanpaint_tpu.quality) — pass `lpips_params`
+    (quality.load_lpips_params) for the LPIPS north-star metric."""
     o = np.asarray(out, np.float32)
-    print(f"{name}: output {o.shape}, finite={np.isfinite(o).all()}, "
-          f"mean={o.mean():.4f}, std={o.std():.4f}")
+    line = (f"{name}: output {o.shape}, finite={np.isfinite(o).all()}, "
+            f"mean={o.mean():.4f}, std={o.std():.4f}")
+    if original is not None and mask is not None:
+        from lanpaint_tpu.quality import quality_report
+
+        q = quality_report(original, out, mask, lpips_params=lpips_params)
+        line += " | " + ", ".join(f"{k}={v:.4f}" for k, v in q.items())
+    print(line)
