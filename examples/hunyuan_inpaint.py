@@ -1,31 +1,37 @@
-"""HunyuanImage inpainting (reference example_workflows/Hunyuan_Inpaint.json:
-20 steps, cfg 1, euler/simple, 5 think-steps)."""
+"""Hunyuan inpainting (reference example_workflows/Hunyuan_Inpaint.json:
+20 steps, cfg 1, euler/simple, 5 think-steps).
+
+The reference's "Hunyuan" family loads hunyuan_video_t2v_720p (the
+HunyuanVideo T2V DiT, CFG-distilled) and samples it as a single-frame T2I
+model — models/hyvideo.py is that architecture.  cfg=1.0 with the embedded
+`guidance` scale mirrors the distilled model's workflow defaults.
+"""
 
 import jax.numpy as jnp
 
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import ksampler
-from lanpaint_tpu.models.dit import HUNYUAN_IMAGE_CONFIG, TINY_DIT_CONFIG
-from lanpaint_tpu.models.load import import_dit, load_safetensors
-from lanpaint_tpu.models.zoo import build_hunyuan_image, build_tiny_dit
+from lanpaint_tpu.models.hyvideo import HUNYUAN_VIDEO_720P_CONFIG, TINY_HYVIDEO_CONFIG
+from lanpaint_tpu.models.load import import_hyvideo, load_safetensors
+from lanpaint_tpu.models.zoo import build_hyvideo, build_tiny_hyvideo
 
 
 def main():
-    args = example_argparser("HunyuanImage LanPaint inpainting").parse_args()
+    args = example_argparser("Hunyuan (HunyuanVideo T2I) LanPaint inpainting").parse_args()
     if args.checkpoint:
-        cfg = HUNYUAN_IMAGE_CONFIG
-        params = import_dit(load_safetensors(args.checkpoint), cfg)
-        model, _ = build_hunyuan_image(params)
-        b, hw = 1, 128
-        cond = {"context": jnp.zeros((b, 256, cfg.context_dim), jnp.float32)}
+        cfg = HUNYUAN_VIDEO_720P_CONFIG
+        params = import_hyvideo(load_safetensors(args.checkpoint), cfg)
+        model, _ = build_hyvideo(cfg, params)
+        b, hw, ctx_len = 1, 128, 256
     else:
-        model, _ = build_tiny_dit()
-        cfg = TINY_DIT_CONFIG
-        b, hw = 1, 16
-        cond = {"context": jnp.zeros((b, 8, cfg.context_dim), jnp.float32),
-                "vec": jnp.zeros((b, cfg.vec_dim), jnp.float32)}
+        cfg = TINY_HYVIDEO_CONFIG
+        model, _ = build_tiny_hyvideo()
+        b, hw, ctx_len = 1, 16, 8
 
-    latent = jnp.zeros((b, cfg.latent_channels, hw, hw), jnp.float32)
+    cond = {"context": jnp.zeros((b, ctx_len, cfg.context_dim), jnp.float32),
+            "vec": jnp.zeros((b, cfg.vec_dim), jnp.float32),
+            "guidance": jnp.full((b,), 6.0)}
+    latent = jnp.zeros((b, cfg.in_channels, hw, hw), jnp.float32)
     mask = center_square_mask(hw * 8, hw * 8)
 
     out = ksampler(

@@ -39,6 +39,9 @@ class DiTConfig:
     attention_impl: str = "auto"   # see layers.attention_bshd
     patch: int = 2                 # latent pixels per token side
     latent_channels: int = 16
+    # RMS-normalize the raw context features before txt_in (Qwen-Image:
+    # `txt_norm.weight` over joint_attention_dim in the public checkpoint)
+    txt_norm: bool = False
     dtype: jnp.dtype = jnp.bfloat16
 
     @property
@@ -49,32 +52,56 @@ class DiTConfig:
 FLUX_DEV_CONFIG = DiTConfig()
 FLUX_SCHNELL_CONFIG = DiTConfig(guidance_embed=False)
 # Qwen-Image: all-double-stream MMDiT (60 joint blocks, no single stream),
-# larger text width, no pooled-vector conditioning.
+# larger text width (Qwen2.5-VL-7B features), no pooled-vector conditioning,
+# RMS txt_norm on the raw context.  Checkpoint layout is diffusers-style
+# (QwenImageTransformer2DModel) — see load.import_qwen.
 QWEN_IMAGE_CONFIG = DiTConfig(
     hidden=3072, num_heads=24, depth_double=60, depth_single=0,
-    context_dim=3584, vec_dim=0, guidance_embed=False,
+    context_dim=3584, vec_dim=0, guidance_embed=False, txt_norm=True,
 )
 # Z-Image: compact single-stream-heavy flow DiT.
 Z_IMAGE_CONFIG = DiTConfig(
     hidden=2304, num_heads=18, depth_double=6, depth_single=30,
     context_dim=2560, vec_dim=0, guidance_embed=False,
 )
-# Flux.2-dev (reference example_workflows/Flux.2_dev_*): scaled-up Flux
-# topology; loader mapping shares the Flux key layout.
+# Flux.2-dev (reference example_workflows/Flux.2.Dev_Inpaint.json:
+# flux2_dev + mistral_3_small encoder + flux2-vae, Flux2Scheduler,
+# FluxGuidance 4, StepSize 0.15): STRUCTURAL STAND-IN on the generic MMDiT.
+# Workflow-pinned facts: context features are Mistral-Small-3.1-24B hidden
+# states (5120-wide), single text encoder (no CLIP pooled vector), embedded
+# guidance.  The exact public topology (depths / width / axes_dim / VAE
+# latent channels) is not retrievable offline — docs/family_facts.md.
 FLUX2_DEV_CONFIG = DiTConfig(
     hidden=5120, num_heads=40, depth_double=8, depth_single=38,
-    context_dim=4096, vec_dim=768, guidance_embed=True,
+    context_dim=5120, vec_dim=0, guidance_embed=True,
 )
-# FLUX.1-Krea (reference Krea2 workflows): flux-dev topology, krea finetune.
-KREA_CONFIG = FLUX_DEV_CONFIG
-# HunyuanImage (reference example_workflows/Hunyuan_Inpaint.json): flux-style
-# double+single-stream flow MMDiT; config dims per the public release, key
-# layout via the shared double_blocks/single_blocks mapping.  Exact-key
-# fidelity is offline-unverifiable (docs/parity.md).
-HUNYUAN_IMAGE_CONFIG = DiTConfig(
-    hidden=3584, num_heads=28, depth_double=20, depth_single=40,
-    context_dim=3584, vec_dim=0, guidance_embed=True,
+# Flux.2-Klein-9B (reference Flux2_Klein_inpainting.json: flux-2-klein-base-9b
+# + qwen_3_8b encoder (4096-wide Qwen3-8B states) + flux2-vae, CFG 5,
+# 2 think-steps, lambda 8): stand-in at ~9B scale, same caveat as above.
+FLUX2_KLEIN_CONFIG = DiTConfig(
+    hidden=3584, num_heads=28, depth_double=8, depth_single=28,
+    context_dim=4096, vec_dim=0, guidance_embed=False,
 )
+# Krea 2 (reference Krea2_LanPaint_Inpaint.json: krea2_turbo_fp8_scaled +
+# qwen3vl_4b encoder (2560-wide Qwen3-VL-4B states) + the Qwen-Image 16ch
+# VAE; 8-step cfg-1 turbo sampling, optional style LoRA at 0.8): stand-in —
+# NOT FLUX.1-Krea (round-1 mislabeled it as a flux-dev alias; the reference
+# workflow pins a different encoder+VAE pairing).
+KREA2_CONFIG = DiTConfig(
+    context_dim=2560, vec_dim=0, guidance_embed=False,
+)
+# Anima (reference README.md:272-286; workflow embedded in
+# examples/Example_26/InPainted_Drag_Me_to_ComfyUI.png metadata:
+# anima-preview3-base + qwen_3_06b_base encoder (1024-wide Qwen3-0.6B
+# states) + qwen_image_vae; er_sde/simple 30 steps cfg 5, 5 think-steps):
+# stand-in at the preview model's ~2B scale.
+ANIMA_CONFIG = DiTConfig(
+    hidden=2048, num_heads=16, depth_double=8, depth_single=24,
+    context_dim=1024, vec_dim=0, guidance_embed=False,
+)
+# "Hunyuan" (reference example_workflows/Hunyuan_Inpaint.json) is the
+# HunyuanVideo T2V DiT sampled single-frame — real architecture in
+# models/hyvideo.py (HUNYUAN_VIDEO_720P_CONFIG), not an MMDiT alias.
 # SD3.5 / HiDream (reference README.md:131-139 flow-model matrix): served by
 # the generic MMDiT (joint double-stream attention, QK-RMSNorm, AdaLN); the
 # per-family checkpoint key mappings are round-2 work — the *sampler* side
@@ -292,8 +319,12 @@ class MMDiT(nn.Module):
             img = jnp.concatenate([img, extra_tokens.astype(cfg.dtype)], axis=1)
             n_extra = extra_tokens.shape[1]
         img = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="img_in")(img)
-        txt = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="txt_in")(
-            context.astype(cfg.dtype))
+        ctx_in = context.astype(cfg.dtype)
+        if cfg.txt_norm:
+            from .layers import RMSNorm
+
+            ctx_in = RMSNorm(cfg.context_dim, name="txt_norm")(ctx_in)
+        txt = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="txt_in")(ctx_in)
 
         v = MLPEmbedder(cfg.hidden, dtype=cfg.dtype, name="time_in")(
             timestep_embedding(t * 1000.0, 256).astype(cfg.dtype))

@@ -181,15 +181,21 @@ def _unet_entries(cfg, encoder_only: bool = False):
         e.append(("out.0", ("out_norm", "GroupNorm_0"), "norm", None))
         e.append(("out.2", ("out_conv",), "conv", None))
 
-    def res(ckpt, flax):
-        return [
+    def res(ckpt, flax, skip):
+        # skip_connection exists in real checkpoints ONLY when the block
+        # changes channel count (ldm ResBlock 1x1 conv); listing it
+        # unconditionally would make the coverage check expect phantom keys.
+        out = [
             (f"{ckpt}.in_layers.0", flax + ("in_norm", "GroupNorm_0"), "norm", None),
             (f"{ckpt}.in_layers.2", flax + ("in_conv",), "conv", None),
             (f"{ckpt}.emb_layers.1", flax + ("emb_proj",), "linear", None),
             (f"{ckpt}.out_layers.0", flax + ("out_norm", "GroupNorm_0"), "norm", None),
             (f"{ckpt}.out_layers.3", flax + ("out_conv",), "conv", None),
-            (f"{ckpt}.skip_connection", flax + ("skip_conv",), "conv", None),
         ]
+        if skip:
+            out.append((f"{ckpt}.skip_connection", flax + ("skip_conv",),
+                        "conv", None))
+        return out
 
     def attn(ckpt, flax, depth):
         out = [
@@ -218,9 +224,13 @@ def _unet_entries(cfg, encoder_only: bool = False):
         return out
 
     idx = 1
+    ch = cfg.model_channels
     for level in range(len(cfg.channel_mult)):
+        oc = cfg.model_channels * cfg.channel_mult[level]
         for i in range(cfg.num_res_blocks):
-            e += res(f"input_blocks.{idx}.0", (f"down_{level}_{i}_res",))
+            e += res(f"input_blocks.{idx}.0", (f"down_{level}_{i}_res",),
+                     skip=(ch != oc))
+            ch = oc
             if cfg.transformer_depth[level] > 0:
                 e += attn(f"input_blocks.{idx}.1", (f"down_{level}_{i}_attn",),
                           cfg.transformer_depth[level])
@@ -230,19 +240,21 @@ def _unet_entries(cfg, encoder_only: bool = False):
                       "conv", None))
             idx += 1
 
-    e += res("middle_block.0", ("mid_res1",))
+    e += res("middle_block.0", ("mid_res1",), skip=False)
     if cfg.transformer_depth_middle > 0:
         e += attn("middle_block.1", ("mid_attn",), cfg.transformer_depth_middle)
-        e += res("middle_block.2", ("mid_res2",))
+        e += res("middle_block.2", ("mid_res2",), skip=False)
     else:
-        e += res("middle_block.1", ("mid_res2",))
+        e += res("middle_block.1", ("mid_res2",), skip=False)
     if encoder_only:
         return e
 
     idx = 0
     for level in reversed(range(len(cfg.channel_mult))):
         for i in range(cfg.num_res_blocks + 1):
-            e += res(f"output_blocks.{idx}.0", (f"up_{level}_{i}_res",))
+            # up-path blocks concatenate the skip activation: in != out always
+            e += res(f"output_blocks.{idx}.0", (f"up_{level}_{i}_res",),
+                     skip=True)
             k = 1
             if cfg.transformer_depth[level] > 0:
                 e += attn(f"output_blocks.{idx}.{k}", (f"up_{level}_{i}_attn",),
@@ -546,6 +558,29 @@ def _hidream_entries(cfg):
 # generic import / export over an entry table
 
 
+def expected_keys(entries, prefix: str = ""):
+    """The full set of checkpoint keys an entry table consumes."""
+    keys = set()
+    for ckpt, _path, kind, _stack in entries:
+        for suffix, _leaf in _leaves(kind):
+            keys.add(prefix + ckpt + ("." + suffix if suffix else ""))
+    return keys
+
+
+def manifest_coverage(state_keys, entries, prefix: str = ""):
+    """(consumed, leftover, missing) of an importer vs a key manifest.
+
+    `leftover` — manifest keys the importer would silently drop (a wrong
+    key name in the mapping table shows up here); `missing` — keys the
+    table expects but the manifest lacks (a hallucinated mapping row).
+    The key-manifest tests (tests/test_manifests.py) assert both empty
+    against vendored real-checkpoint manifests.
+    """
+    want = expected_keys(entries, prefix)
+    have = set(state_keys)
+    return want & have, have - want, want - have
+
+
 def _import(state, entries, prefix):
     tb = _TreeBuilder()
     for ckpt, path, kind, stack in entries:
@@ -596,6 +631,146 @@ def export_dit(params, cfg, prefix: str = "") -> dict:
     return _export(params, _dit_entries(cfg), prefix)
 
 
+def import_qwen(state, cfg, prefix: str = "") -> dict:
+    """Qwen-Image diffusers layout (QwenImageTransformer2DModel) -> MMDiT.
+
+    The public checkpoint stores per-stream split projections
+    (`attn.to_q/to_k/to_v` for the image stream, `attn.add_{q,k,v}_proj` for
+    the text stream) which fuse into our qkv kernels; `attn.norm_q/...`
+    are the head-dim RMS qk-norms; `norm_out.linear` is diffusers
+    AdaLayerNormContinuous whose output halves are ordered (scale, shift) —
+    swapped here into our flux-convention (shift, scale).
+    """
+    tb = _TreeBuilder()
+    g = lambda k: state[prefix + k]
+    h = cfg.hidden
+
+    def lin(ckpt, path, st=None):
+        w, b = t_linear(g(ckpt + ".weight")), g(ckpt + ".bias")
+        if st is None:
+            tb.set(path + ("kernel",), w)
+            tb.set(path + ("bias",), b)
+        else:
+            tb.set_stacked(path + ("kernel",), st[0], st[1], w)
+            tb.set_stacked(path + ("bias",), st[0], st[1], b)
+
+    lin("time_text_embed.timestep_embedder.linear_1", ("time_in", "in_layer"))
+    lin("time_text_embed.timestep_embedder.linear_2", ("time_in", "out_layer"))
+    tb.set(("txt_norm", "scale"), g("txt_norm.weight"))
+    lin("img_in", ("img_in",))
+    lin("txt_in", ("txt_in",))
+    # final AdaLN: swap (scale, shift) -> (shift, scale)
+    w = g("norm_out.linear.weight")
+    b = g("norm_out.linear.bias")
+    tb.set(("final_layer", "adaLN_modulation", "kernel"),
+           t_linear(np.concatenate([w[h:], w[:h]], axis=0)))
+    tb.set(("final_layer", "adaLN_modulation", "bias"),
+           np.concatenate([b[h:], b[:h]], axis=0))
+    lin("proj_out", ("final_layer", "linear"))
+
+    p = ("double", "block")
+    for i in range(cfg.depth_double):
+        blk = f"transformer_blocks.{i}"
+        st = (i, cfg.depth_double)
+        lin(f"{blk}.img_mod.1", p + ("img_mod", "lin"), st)
+        lin(f"{blk}.txt_mod.1", p + ("txt_mod", "lin"), st)
+        for stream, src_q, src_norm, src_out in (
+            ("img", ["to_q", "to_k", "to_v"], ["norm_q", "norm_k"], "to_out.0"),
+            ("txt", ["add_q_proj", "add_k_proj", "add_v_proj"],
+             ["norm_added_q", "norm_added_k"], "to_add_out"),
+        ):
+            kw = np.concatenate(
+                [t_linear(g(f"{blk}.attn.{s}.weight")) for s in src_q], axis=1)
+            kb = np.concatenate(
+                [g(f"{blk}.attn.{s}.bias") for s in src_q], axis=0)
+            tb.set_stacked(p + (f"{stream}_attn_qkv", "kernel"), i,
+                           cfg.depth_double, kw)
+            tb.set_stacked(p + (f"{stream}_attn_qkv", "bias"), i,
+                           cfg.depth_double, kb)
+            tb.set_stacked(p + (f"{stream}_attn_qknorm", "query_norm", "scale"),
+                           i, cfg.depth_double, g(f"{blk}.attn.{src_norm[0]}.weight"))
+            tb.set_stacked(p + (f"{stream}_attn_qknorm", "key_norm", "scale"),
+                           i, cfg.depth_double, g(f"{blk}.attn.{src_norm[1]}.weight"))
+            lin(f"{blk}.attn.{src_out}", p + (f"{stream}_attn_proj",), st)
+            lin(f"{blk}.{stream}_mlp.net.0.proj", p + (f"{stream}_mlp_0",), st)
+            lin(f"{blk}.{stream}_mlp.net.2", p + (f"{stream}_mlp_2",), st)
+    return tb.build()
+
+
+def qwen_expected_keys(cfg, prefix: str = ""):
+    """The checkpoint keys import_qwen consumes (manifest-coverage hook)."""
+    keys = set()
+    for k in ("time_text_embed.timestep_embedder.linear_1",
+              "time_text_embed.timestep_embedder.linear_2",
+              "img_in", "txt_in", "norm_out.linear", "proj_out"):
+        keys.add(prefix + k + ".weight")
+        keys.add(prefix + k + ".bias")
+    keys.add(prefix + "txt_norm.weight")
+    for i in range(cfg.depth_double):
+        blk = f"transformer_blocks.{i}"
+        for k in ("img_mod.1", "txt_mod.1", "attn.to_q", "attn.to_k",
+                  "attn.to_v", "attn.add_q_proj", "attn.add_k_proj",
+                  "attn.add_v_proj", "attn.to_out.0", "attn.to_add_out",
+                  "img_mlp.net.0.proj", "img_mlp.net.2",
+                  "txt_mlp.net.0.proj", "txt_mlp.net.2"):
+            keys.add(f"{prefix}{blk}.{k}.weight")
+            keys.add(f"{prefix}{blk}.{k}.bias")
+        for k in ("attn.norm_q", "attn.norm_k", "attn.norm_added_q",
+                  "attn.norm_added_k"):
+            keys.add(f"{prefix}{blk}.{k}.weight")
+    return keys
+
+
+def export_qwen(params, cfg, prefix: str = "") -> dict:
+    """Inverse of import_qwen (roundtrip tests)."""
+    flat = _tree_to_flat(params["params"])
+    out = {}
+    h = cfg.hidden
+
+    def lin(ckpt, path, idx=None):
+        w, b = flat[path + ("kernel",)], flat[path + ("bias",)]
+        if idx is not None:
+            w, b = w[idx], b[idx]
+        out[prefix + ckpt + ".weight"] = np.transpose(w, (1, 0))
+        out[prefix + ckpt + ".bias"] = b
+
+    lin("time_text_embed.timestep_embedder.linear_1", ("time_in", "in_layer"))
+    lin("time_text_embed.timestep_embedder.linear_2", ("time_in", "out_layer"))
+    out[prefix + "txt_norm.weight"] = flat[("txt_norm", "scale")]
+    lin("img_in", ("img_in",))
+    lin("txt_in", ("txt_in",))
+    w = np.transpose(flat[("final_layer", "adaLN_modulation", "kernel")], (1, 0))
+    b = flat[("final_layer", "adaLN_modulation", "bias")]
+    out[prefix + "norm_out.linear.weight"] = np.concatenate([w[h:], w[:h]], axis=0)
+    out[prefix + "norm_out.linear.bias"] = np.concatenate([b[h:], b[:h]], axis=0)
+    lin("proj_out", ("final_layer", "linear"))
+
+    p = ("double", "block")
+    for i in range(cfg.depth_double):
+        blk = f"transformer_blocks.{i}"
+        lin(f"{blk}.img_mod.1", p + ("img_mod", "lin"), i)
+        lin(f"{blk}.txt_mod.1", p + ("txt_mod", "lin"), i)
+        for stream, dst_q, dst_norm, dst_out in (
+            ("img", ["to_q", "to_k", "to_v"], ["norm_q", "norm_k"], "to_out.0"),
+            ("txt", ["add_q_proj", "add_k_proj", "add_v_proj"],
+             ["norm_added_q", "norm_added_k"], "to_add_out"),
+        ):
+            kw = flat[p + (f"{stream}_attn_qkv", "kernel")][i]
+            kb = flat[p + (f"{stream}_attn_qkv", "bias")][i]
+            for j, s in enumerate(dst_q):
+                out[f"{prefix}{blk}.attn.{s}.weight"] = np.transpose(
+                    kw[:, j * h:(j + 1) * h], (1, 0))
+                out[f"{prefix}{blk}.attn.{s}.bias"] = kb[j * h:(j + 1) * h]
+            out[f"{prefix}{blk}.attn.{dst_norm[0]}.weight"] = \
+                flat[p + (f"{stream}_attn_qknorm", "query_norm", "scale")][i]
+            out[f"{prefix}{blk}.attn.{dst_norm[1]}.weight"] = \
+                flat[p + (f"{stream}_attn_qknorm", "key_norm", "scale")][i]
+            lin(f"{blk}.attn.{dst_out}", p + (f"{stream}_attn_proj",), i)
+            lin(f"{blk}.{stream}_mlp.net.0.proj", p + (f"{stream}_mlp_0",), i)
+            lin(f"{blk}.{stream}_mlp.net.2", p + (f"{stream}_mlp_2",), i)
+    return out
+
+
 def import_hidream(state, cfg, prefix: str = "") -> dict:
     return _import(state, _hidream_entries(cfg), prefix)
 
@@ -632,6 +807,89 @@ def export_wan(params, cfg, prefix: str = "") -> dict:
     return {k.replace(".norm_q.scale", ".norm_q.weight")
              .replace(".norm_k.scale", ".norm_k.weight"): v
             for k, v in out.items()}
+
+
+def _hyvideo_entries(cfg):
+    """HunyuanVideo DiT (models/hyvideo.py) <-> the ComfyUI-native layout of
+    `hunyuan_video_t2v_720p_bf16.safetensors` (Comfy-Org repackaged — what
+    the reference's Hunyuan workflow loads via UNETLoader): Flux-style keys
+    for the double/single streams (`double_blocks.{i}.img_attn.qkv`,
+    `...norm.query_norm.scale`, `single_blocks.{i}.linear1`, mirrored from
+    comfy's reuse of its Flux layers) plus the HunyuanVideo-specific
+    Conv3D patch embed `img_in.proj` and the tencent-named token refiner
+    subtree `txt_in.individual_token_refiner.blocks.{i}.*` /
+    `txt_in.t_embedder.mlp.{0,2}` / `txt_in.c_embedder.linear_{1,2}`."""
+    e = [
+        ("img_in.proj", ("img_in",),
+         ("conv3d_as_linear", (cfg.in_channels,) + tuple(cfg.patch)), None),
+        ("time_in.in_layer", ("time_in", "in_layer"), "linear", None),
+        ("time_in.out_layer", ("time_in", "out_layer"), "linear", None),
+        ("txt_in.input_embedder", ("txt_in", "input_embedder"), "linear", None),
+        ("txt_in.t_embedder.mlp.0", ("txt_in", "t_embedder", "in_layer"),
+         "linear", None),
+        ("txt_in.t_embedder.mlp.2", ("txt_in", "t_embedder", "out_layer"),
+         "linear", None),
+        ("txt_in.c_embedder.linear_1", ("txt_in", "c_embedder", "in_layer"),
+         "linear", None),
+        ("txt_in.c_embedder.linear_2", ("txt_in", "c_embedder", "out_layer"),
+         "linear", None),
+        ("final_layer.adaLN_modulation.1",
+         ("final_layer", "adaLN_modulation"), "linear", None),
+        ("final_layer.linear", ("final_layer", "linear"), "linear", None),
+    ]
+    if cfg.vec_dim > 0:
+        e += [("vector_in.in_layer", ("vector_in", "in_layer"), "linear", None),
+              ("vector_in.out_layer", ("vector_in", "out_layer"), "linear", None)]
+    if cfg.guidance_embed:
+        e += [("guidance_in.in_layer", ("guidance_in", "in_layer"), "linear", None),
+              ("guidance_in.out_layer", ("guidance_in", "out_layer"), "linear", None)]
+    for i in range(cfg.refiner_depth):
+        b = f"txt_in.individual_token_refiner.blocks.{i}"
+        p = ("txt_in", "refiner", "block")
+        st = (i, cfg.refiner_depth)
+        e += [
+            (f"{b}.norm1", p + ("norm1",), "ln", st),
+            (f"{b}.norm2", p + ("norm2",), "ln", st),
+            (f"{b}.self_attn_qkv", p + ("self_attn_qkv",), "linear", st),
+            (f"{b}.self_attn_proj", p + ("self_attn_proj",), "linear", st),
+            (f"{b}.mlp.fc1", p + ("mlp_fc1",), "linear", st),
+            (f"{b}.mlp.fc2", p + ("mlp_fc2",), "linear", st),
+            (f"{b}.adaLN_modulation.1", p + ("adaLN_modulation",), "linear", st),
+        ]
+    for i in range(cfg.depth_double):
+        b = f"double_blocks.{i}"
+        p = ("double", "block")
+        st = (i, cfg.depth_double)
+        for s in ("img", "txt"):
+            e += [
+                (f"{b}.{s}_mod.lin", p + (f"{s}_mod",), "linear", st),
+                (f"{b}.{s}_attn.qkv", p + (f"{s}_attn_qkv",), "linear", st),
+                (f"{b}.{s}_attn.norm.query_norm", p + (f"{s}_q_norm",), "rms", st),
+                (f"{b}.{s}_attn.norm.key_norm", p + (f"{s}_k_norm",), "rms", st),
+                (f"{b}.{s}_attn.proj", p + (f"{s}_attn_proj",), "linear", st),
+                (f"{b}.{s}_mlp.0", p + (f"{s}_mlp_fc1",), "linear", st),
+                (f"{b}.{s}_mlp.2", p + (f"{s}_mlp_fc2",), "linear", st),
+            ]
+    for i in range(cfg.depth_single):
+        b = f"single_blocks.{i}"
+        p = ("single", "block")
+        st = (i, cfg.depth_single)
+        e += [
+            (f"{b}.modulation.lin", p + ("modulation",), "linear", st),
+            (f"{b}.linear1", p + ("linear1",), "linear", st),
+            (f"{b}.linear2", p + ("linear2",), "linear", st),
+            (f"{b}.norm.query_norm", p + ("q_norm",), "rms", st),
+            (f"{b}.norm.key_norm", p + ("k_norm",), "rms", st),
+        ]
+    return e
+
+
+def import_hyvideo(state, cfg, prefix: str = "") -> dict:
+    return _import(state, _hyvideo_entries(cfg), prefix)
+
+
+def export_hyvideo(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _hyvideo_entries(cfg), prefix)
 
 
 # --------------------------------------------------------------------------

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import MLPEmbedder, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+from .layers import MLPEmbedder, apply_rope, attention_bshd, rope_freqs, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,7 +68,10 @@ class WanConfig:
 # *diverge* from reference behavior while costing HBM traffic (measured on
 # v5e: 469.5 -> 454.2 ms per 5B forward at 5400 tokens).
 WAN22_T2V_14B_CONFIG = WanConfig(residual_dtype=jnp.bfloat16)
-WAN22_TI2V_5B_CONFIG = WanConfig(hidden=3072, num_heads=24, depth=30,
+# TI2V-5B pairs with the Wan2.2 VAE (4x16x16 compression, 48-ch latents),
+# unlike the 14B pair which keeps the Wan2.1 16-ch VAE.
+WAN22_TI2V_5B_CONFIG = WanConfig(in_channels=48, out_channels=48,
+                                 hidden=3072, num_heads=24, depth=30,
                                  ffn_dim=14336, axes_dim=(44, 42, 42),
                                  residual_dtype=jnp.bfloat16)
 TINY_WAN_CONFIG = WanConfig(in_channels=4, out_channels=4, hidden=64,
@@ -97,6 +100,32 @@ class _RowDense(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _WanQKNorm(nn.Module):
+    """RMSNorm over the FULL projection width — public Wan semantics:
+    norm_q/norm_k = RMSNorm(dim) applied BEFORE the head reshape, checkpoint
+    weight shape (dim,) (`blocks.{i}.self_attn.norm_q.weight`).  Under manual
+    TP each shard holds dim/tp features: the mean-of-squares is psum-reduced
+    so statistics match the unsharded model, and the scale param is the
+    local shard (wan_tp_param_specs shards it on its last axis)."""
+
+    dim: int                      # full (unsharded) width
+    tp_axis: Optional[str]
+    tp_size: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        if self.tp_axis is not None:
+            ss = jax.lax.psum(ss, self.tp_axis)
+        n = xf * jax.lax.rsqrt(ss / self.dim + self.eps)
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.dim // self.tp_size,), jnp.float32)
+        return (n * scale).astype(dt)
+
+
 class WanSelfAttention(nn.Module):
     cfg: WanConfig
 
@@ -106,11 +135,13 @@ class WanSelfAttention(nn.Module):
         h, d = cfg.num_heads // cfg.tp_size, cfg.head_dim
         inner = cfg.hidden // cfg.tp_size
         b, s, _ = x.shape
-        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
-        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(x).reshape(b, s, h, d)
+        qk_norm = lambda name: _WanQKNorm(cfg.hidden, cfg.tp_axis, cfg.tp_size,
+                                          cfg.eps, name=name)
+        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x)
+        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(x)
         v = nn.Dense(inner, dtype=cfg.dtype, name="v")(x).reshape(b, s, h, d)
-        q = RMSNorm(d, name="norm_q")(q)
-        k = RMSNorm(d, name="norm_k")(k)
+        q = qk_norm("norm_q")(q).reshape(b, s, h, d)
+        k = qk_norm("norm_k")(k).reshape(b, s, h, d)
         q = apply_rope(q, pe)
         k = apply_rope(k, pe)
         if cfg.seq_axis is not None:
@@ -133,11 +164,13 @@ class WanCrossAttention(nn.Module):
         inner = cfg.hidden // cfg.tp_size
         b, s, _ = x.shape
         sk = context.shape[1]
-        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x).reshape(b, s, h, d)
-        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context).reshape(b, sk, h, d)
+        qk_norm = lambda name: _WanQKNorm(cfg.hidden, cfg.tp_axis, cfg.tp_size,
+                                          cfg.eps, name=name)
+        q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x)
+        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context)
         v = nn.Dense(inner, dtype=cfg.dtype, name="v")(context).reshape(b, sk, h, d)
-        q = RMSNorm(d, name="norm_q")(q)
-        k = RMSNorm(d, name="norm_k")(k)
+        q = qk_norm("norm_q")(q).reshape(b, s, h, d)
+        k = qk_norm("norm_k")(k).reshape(b, sk, h, d)
         out = attention_bshd(q, k, v, impl=cfg.attention_impl)
         out = out.reshape(b, s, inner)
         return _RowDense(cfg.hidden, cfg.tp_axis, cfg.dtype, name="o")(out)

@@ -282,11 +282,55 @@ def build_z_image(params=None, **kw):
                      name="z-image", **kw)
 
 
-def build_hunyuan_image(params=None, **kw):
-    from .dit import HUNYUAN_IMAGE_CONFIG
+def build_hyvideo(
+    config=None,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 7.0,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "hunyuan-video",
+):
+    """HunyuanVideo DiT denoiser — the backbone behind the reference's
+    "Hunyuan" workflow (example_workflows/Hunyuan_Inpaint.json), which
+    samples hunyuan_video_t2v_720p as a single-frame T2I model.  Accepts
+    4D (B, C, H, W) image latents (auto-unsqueezed to T=1) or 5D video
+    latents.  shift=7.0 is the HunyuanVideo flow-schedule default."""
+    from .hyvideo import HUNYUAN_VIDEO_720P_CONFIG, HYVideoDiT
 
-    return build_dit(HUNYUAN_IMAGE_CONFIG, params, shift=4.0, is_flux=False,
-                     name="hunyuan-image", **kw)
+    config = HUNYUAN_VIDEO_720P_CONFIG if config is None else config
+    module = HYVideoDiT(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.in_channels, 1, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.context_dim), jnp.float32)
+        vec = (jnp.zeros((b, config.vec_dim), jnp.float32)
+               if config.vec_dim > 0 else None)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx, vec,
+                                  jnp.full((b,), 6.0), seed=seed)
+
+    def raw_apply(p, x, t, cond):
+        squeeze = x.ndim == 4          # image latent -> single-frame video
+        xv = x[:, :, None] if squeeze else x
+        tb = _bc(t, xv.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vec = cond.get("vec") if isinstance(cond, dict) else None
+        guidance = cond.get("guidance") if isinstance(cond, dict) else None
+        vel = module.apply(p, xv, t, ctx, vec, guidance)
+        x0 = xv - tb * vel
+        return x0[:, :, 0] if squeeze else x0
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), name=name,
+                   latent_channels=config.in_channels)
+    return den, params
+
+
+def build_tiny_hyvideo(params=None, **kw):
+    from .hyvideo import TINY_HYVIDEO_CONFIG
+
+    return build_hyvideo(TINY_HYVIDEO_CONFIG, params, name="tiny-hyvideo", **kw)
 
 
 def build_flux2_dev(params=None, **kw):
@@ -294,6 +338,31 @@ def build_flux2_dev(params=None, **kw):
 
     return build_dit(FLUX2_DEV_CONFIG, params, shift=1.15, is_flux=True,
                      name="flux2-dev", **kw)
+
+
+def build_flux2_klein(params=None, **kw):
+    from .dit import FLUX2_KLEIN_CONFIG
+
+    return build_dit(FLUX2_KLEIN_CONFIG, params, shift=1.15, is_flux=False,
+                     name="flux2-klein", **kw)
+
+
+def build_krea2(params=None, **kw):
+    """Krea 2 turbo (reference Krea2_LanPaint_Inpaint.json) — stand-in
+    topology; encoder/VAE pairing per the workflow (docs/family_facts.md)."""
+    from .dit import KREA2_CONFIG
+
+    return build_dit(KREA2_CONFIG, params, shift=3.0, is_flux=False,
+                     name="krea2", **kw)
+
+
+def build_anima(params=None, **kw):
+    """Anima preview3 (reference README.md:272-286) — stand-in topology;
+    Qwen3-0.6B text features + Qwen-Image VAE per the embedded workflow."""
+    from .dit import ANIMA_CONFIG
+
+    return build_dit(ANIMA_CONFIG, params, shift=3.0, is_flux=False,
+                     name="anima", **kw)
 
 
 def build_tiny_dit(params=None, **kw):
@@ -467,6 +536,43 @@ def switching_denoiser(high: Denoiser, low: Denoiser, boundary: float = 0.875,
                     kind=high.kind, sigma_table=high.sigma_table,
                     is_flux=high.is_flux, name=name,
                     latent_channels=high.latent_channels)
+
+
+def dual_model_denoiser(positive: Denoiser, negative: Denoiser,
+                        name: str = "dual-cfg") -> Denoiser:
+    """Two-model CFG — the reference Ideogram4 workflow's `DualModelGuider`
+    (docs/family_facts.md): the positive prediction comes from the main
+    model, the negative prediction from a SEPARATE model (Ideogram4 pairs
+    its conditional model with an unconditional-trained one), and CFG mixes
+    across the two.  Distinct from `switching_denoiser` (timestep-routed
+    experts — only one runs per step): here both run every step, one per
+    CFG branch.
+
+    Usage: put `{"model_select": jnp.ones(())}` in the NEGATIVE cond dict
+    and sample with `sequential_cfg=True` — each CFG branch then executes
+    exactly one model under `lax.cond` (the batched 2B CFG pass cannot
+    route per-half, so the sequential double pass is required)."""
+    assert positive.kind == negative.kind
+    params = {"pos": positive.params, "neg": negative.params}
+
+    def raw_apply(p, x, t, cond):
+        if isinstance(cond, dict):
+            sel = cond.get("model_select", jnp.zeros(()))
+            inner = {k: v for k, v in cond.items() if k != "model_select"}
+        else:
+            sel, inner = jnp.zeros(()), cond
+        sel = jnp.mean(jnp.asarray(sel, jnp.float32))
+        return jax.lax.cond(
+            sel > 0.5,
+            lambda o: negative.raw_apply(p["neg"], *o),
+            lambda o: positive.raw_apply(p["pos"], *o),
+            (x, t, inner))
+
+    return Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                    raw_apply=raw_apply, params=params,
+                    kind=positive.kind, sigma_table=positive.sigma_table,
+                    is_flux=positive.is_flux, name=name,
+                    latent_channels=positive.latent_channels)
 
 
 def build_wan_seq_parallel(

@@ -228,6 +228,9 @@ def wan_tp_param_specs(params):
         name = "/".join(k.key if hasattr(k, "key") else str(k) for k in path)
         col = any(f"{a}/{w}/" in name
                   for a in ("self_attn", "cross_attn") for w in "qkv")
+        # full-width qk-norm scales live in the column-parallel (sharded)
+        # feature space — each shard keeps its slice (models/wan._WanQKNorm)
+        col = col or "/norm_q/" in name or "/norm_k/" in name
         col = col or "ffn_0/" in name
         row = any(f"{a}/o/kernel" in name for a in ("self_attn", "cross_attn"))
         row = row or "ffn_2/kernel" in name

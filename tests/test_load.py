@@ -83,6 +83,29 @@ def test_dit_roundtrip_exact():
     _tree_eq(params["params"], back["params"])
 
 
+def test_qwen_roundtrip_exact():
+    """Diffusers-layout Qwen-Image mapping: split to_q/to_k/to_v fuse into
+    qkv, norm_out halves swap (scale,shift)->(shift,scale), txt_norm maps."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_DIT_CONFIG, depth_double=3, depth_single=0,
+                              vec_dim=0, txt_norm=True)
+    module = MMDiT(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.latent_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.context_dim)))
+    state = L.export_qwen(params, cfg)
+    assert "transformer_blocks.0.attn.add_q_proj.weight" in state
+    assert "transformer_blocks.2.attn.norm_added_k.weight" in state
+    assert "txt_norm.weight" in state
+    assert "norm_out.linear.weight" in state
+    # every exported key is in the expected-key manifest hook and vice versa
+    assert set(state) == L.qwen_expected_keys(cfg)
+    back = L.import_qwen(state, cfg)
+    _tree_eq(params["params"], back["params"])
+
+
 def test_sd3_roundtrip_exact():
     from lanpaint_tpu.models.sd3 import TINY_SD3_CONFIG, SD3MMDiT
 
@@ -272,22 +295,24 @@ def test_lora_end_to_end_changes_forward():
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
 
 
-@pytest.mark.parametrize("family", ["flux2", "hunyuan", "qwen", "zimage"])
+@pytest.mark.parametrize("family", ["flux2", "klein", "krea2", "anima", "qwen", "zimage"])
 def test_dit_roundtrip_structural_variants(family):
-    """Tiny-ified clones of the config-level families (Flux.2 / Hunyuan /
+    """Tiny-ified clones of the config-level families (Flux.2 /
     Qwen / Z-Image): the entry tables must cover every structural variation
     (guidance_embed on/off, vec_dim zero/nonzero, asymmetric depths)."""
     import dataclasses
 
     from lanpaint_tpu.models.dit import (
-        FLUX2_DEV_CONFIG, HUNYUAN_IMAGE_CONFIG, QWEN_IMAGE_CONFIG,
-        Z_IMAGE_CONFIG,
+        ANIMA_CONFIG, FLUX2_DEV_CONFIG, FLUX2_KLEIN_CONFIG, KREA2_CONFIG,
+        QWEN_IMAGE_CONFIG, Z_IMAGE_CONFIG,
     )
 
-    base = {"flux2": FLUX2_DEV_CONFIG, "hunyuan": HUNYUAN_IMAGE_CONFIG,
+    base = {"flux2": FLUX2_DEV_CONFIG, "klein": FLUX2_KLEIN_CONFIG,
+            "krea2": KREA2_CONFIG, "anima": ANIMA_CONFIG,
             "qwen": QWEN_IMAGE_CONFIG, "zimage": Z_IMAGE_CONFIG}[family]
     cfg = dataclasses.replace(
-        base, hidden=64, num_heads=4, depth_double=2, depth_single=3,
+        base, hidden=64, num_heads=4, depth_double=2,
+        depth_single=(0 if base.depth_single == 0 else 3),
         context_dim=32, vec_dim=(16 if base.vec_dim else 0),
         axes_dim=(4, 6, 6))  # sum == head_dim (64/4)
     module = MMDiT(cfg)
@@ -296,6 +321,13 @@ def test_dit_roundtrip_structural_variants(family):
     args.append(jnp.zeros((1, cfg.vec_dim)) if cfg.vec_dim else None)
     kw = {"guidance": jnp.full((1,), 3.0)} if cfg.guidance_embed else {}
     params = module.init(jax.random.PRNGKey(0), *args, **kw)
+    if cfg.txt_norm:
+        # Qwen uses its own diffusers-layout mapper (covered by
+        # test_qwen_roundtrip_exact); the flux-layout table has no txt_norm
+        state = L.export_qwen(params, cfg)
+        back = L.import_qwen(state, cfg)
+        _tree_eq(params["params"], back["params"])
+        return
     state = L.export_dit(params, cfg)
     if cfg.guidance_embed:
         assert "guidance_in.in_layer.weight" in state

@@ -118,6 +118,41 @@ def test_switching_denoiser_routes_by_timestep(tiny_wan, key):
     np.testing.assert_allclose(np.asarray(lo), np.asarray(want_lo), atol=1e-6)
 
 
+def test_dual_model_denoiser_routes_by_cfg_branch(key):
+    """Ideogram4 DualModelGuider pattern: positive CFG branch runs model A,
+    negative branch runs model B; the mix equals the hand-computed CFG."""
+    from lanpaint_tpu.models.zoo import dual_model_denoiser
+
+    a, _ = build_tiny_dit(seed=0)
+    b_, _ = build_tiny_dit(seed=1)
+    dual = dual_model_denoiser(a, b_, name="dual")
+    x = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    t = jnp.full((1,), 0.6)
+    cond = {"context": jnp.ones((1, 8, 32), jnp.float32),
+            "vec": jnp.zeros((1, 16), jnp.float32)}
+    neg = dict(cond, model_select=jnp.ones(()))
+    # routing: select=0 -> model A on cond; select=1 -> model B on same cond
+    # (atol, not exactness: lax.cond traces the branch as one compiled unit,
+    # whose bf16 fusion differs slightly from the eager per-op dispatch)
+    np.testing.assert_allclose(np.asarray(dual.apply(x, t, cond)),
+                               np.asarray(a.apply(x, t, cond)),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(dual.apply(x, t, neg)),
+                               np.asarray(b_.apply(x, t, cond)),
+                               rtol=0, atol=2e-3)
+    # full CFG mix through the guidance double pass (sequential)
+    from lanpaint_tpu.guidance import make_cfg_double_denoiser
+
+    den = make_cfg_double_denoiser(dual.apply, cond, neg, cfg=4.0,
+                                   cfg_big=4.0, sequential=True)
+    x0, x0_big = den(x, t)
+    xa = np.asarray(a.apply(x, t, cond))
+    xb = np.asarray(b_.apply(x, t, cond))
+    np.testing.assert_allclose(np.asarray(x0), xb + 4.0 * (xa - xb),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x0_big), rtol=1e-6)
+
+
 def test_unet_end_to_end_inpaint(tiny_unet, key):
     """Full pipeline over a real (tiny) UNet: runs, finite, known region kept."""
     den, _ = tiny_unet
@@ -145,6 +180,42 @@ def test_dit_end_to_end_inpaint(tiny_dit, key):
                    mask=jnp.asarray(mask), num_steps=2)
     assert out.shape == latent.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_hyvideo_end_to_end_inpaint(key):
+    """HunyuanVideo DiT (reference Hunyuan_Inpaint.json family) sampled as
+    single-frame T2I through the full pipeline, distilled-guidance cond."""
+    from lanpaint_tpu.models.hyvideo import TINY_HYVIDEO_CONFIG
+    from lanpaint_tpu.models.zoo import build_tiny_hyvideo
+
+    cfg = TINY_HYVIDEO_CONFIG
+    den, _ = build_tiny_hyvideo()
+    latent = jax.random.normal(key, (1, cfg.in_channels, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[8:, :] = 1.0
+    cond = {"context": jnp.zeros((1, 8, cfg.context_dim), jnp.float32),
+            "vec": jnp.zeros((1, cfg.vec_dim), jnp.float32),
+            "guidance": jnp.full((1,), 6.0)}
+    out = ksampler(den, seed=0, steps=4, cfg=1.0, sampler_name="euler",
+                   scheduler="simple", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_hyvideo_multiframe_forward(key):
+    """5D video path: 4 frames through pack/RoPE/unpack keep shape+finite."""
+    from lanpaint_tpu.models.hyvideo import TINY_HYVIDEO_CONFIG
+    from lanpaint_tpu.models.zoo import build_tiny_hyvideo
+
+    cfg = TINY_HYVIDEO_CONFIG
+    den, _ = build_tiny_hyvideo()
+    x = jax.random.normal(key, (1, cfg.in_channels, 4, 8, 8), jnp.float32)
+    cond = {"context": jnp.zeros((1, 8, cfg.context_dim), jnp.float32),
+            "vec": jnp.zeros((1, cfg.vec_dim), jnp.float32)}
+    x0 = den.apply(x, jnp.full((1,), 0.7), cond)
+    assert x0.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(x0)))
 
 
 def test_sd3_end_to_end_inpaint(key):
