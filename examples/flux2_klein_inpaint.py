@@ -1,27 +1,30 @@
 """Flux2-Klein inpainting (reference example_workflows/
 Flux2_Klein_inpainting.json: LanPaint_SamplerCustomAdvanced with 2
-think-steps, lambda 8, step-size 0.2, CFGGuider cfg 5, euler, 20 steps)."""
+think-steps, lambda 8, step-size 0.2, CFGGuider cfg 5, euler, 20 steps;
+flux-2-klein-base-9b + Qwen3-8B text features + flux2-vae).
+
+FLUX2_KLEIN_CONFIG is a structural stand-in on the generic MMDiT — the
+encoder width (4096) is a workflow-pinned fact, the DiT topology is not
+retrievable offline (docs/family_facts.md)."""
 
 import jax.numpy as jnp
 
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import sample_custom_advanced
-from lanpaint_tpu.models.dit import FLUX2_DEV_CONFIG, TINY_DIT_CONFIG
+from lanpaint_tpu.models.dit import FLUX2_KLEIN_CONFIG, TINY_DIT_CONFIG
 from lanpaint_tpu.models.load import import_dit, load_safetensors
-from lanpaint_tpu.models.zoo import build_dit, build_tiny_dit
+from lanpaint_tpu.models.zoo import build_flux2_klein, build_tiny_dit
 from lanpaint_tpu.sigmas import calculate_sigmas
 
 
 def main():
     args = example_argparser("Flux2-Klein LanPaint inpainting").parse_args()
     if args.checkpoint:
-        cfg = FLUX2_DEV_CONFIG  # Klein is the distilled Flux.2 topology
+        cfg = FLUX2_KLEIN_CONFIG
         params = import_dit(load_safetensors(args.checkpoint), cfg)
-        model, _ = build_dit(cfg, params, shift=1.15, is_flux=True,
-                             name="flux2-klein")
+        model, _ = build_flux2_klein(params)
         b, hw = 1, 128
-        cond = {"context": jnp.zeros((b, 512, cfg.context_dim), jnp.float32),
-                "vec": jnp.zeros((b, cfg.vec_dim), jnp.float32)}
+        cond = {"context": jnp.zeros((b, 512, cfg.context_dim), jnp.float32)}
     else:
         model, _ = build_tiny_dit()
         cfg = TINY_DIT_CONFIG

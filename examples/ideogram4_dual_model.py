@@ -1,44 +1,51 @@
-"""Ideogram4-style dual-model inpainting (reference example_workflows/
-Ideogram4_LanPaint_Inpaint.json: DualModelGuider cfg 4 switching experts at
-half the schedule, Ideogram4Scheduler 20 steps, euler,
-LanPaint_SamplerCustomAdvanced with 5 think-steps / lambda 16 / step 0.2).
+"""Ideogram4 dual-model inpainting (reference example_workflows/
+Ideogram4_LanPaint_Inpaint.json: `DualModelGuider [4]` pairing
+ideogram4_fp8_scaled (positive) with ideogram4_unconditional_fp8_scaled
+(negative), Qwen3-VL-8B text features, flux2-vae, Ideogram4Scheduler
+20 steps, euler, LanPaint_SamplerCustomAdvanced with 5 think-steps /
+lambda 16 / step 0.2).
 
-The DualModelGuider pattern is the same timestep-switched two-expert
-denoiser used by the Wan2.2 high/low pair: `switching_denoiser` under jit
-runs only the active expert per step (`lax.cond`)."""
+`zoo.dual_model_denoiser` reproduces the DualModelGuider semantics: the
+CFG positive branch runs the conditional model, the negative branch runs
+the separate unconditional model (`model_select` flag in the negative
+cond), one model per branch under `lax.cond` with `sequential_cfg=True`.
+The Ideogram4 topology itself is offline-unknown (docs/family_facts.md) —
+tiny stand-in models demonstrate the graph; the workflow's CFGOverride
+late-schedule tweak is a host-side scheduler detail, not LanPaint surface.
+"""
 
 import jax.numpy as jnp
 
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import sample_custom_advanced
-from lanpaint_tpu.models.zoo import build_tiny_dit, switching_denoiser
+from lanpaint_tpu.models.zoo import build_tiny_dit, dual_model_denoiser
 from lanpaint_tpu.sigmas import calculate_sigmas
 
 
 def main():
-    p = example_argparser("Ideogram4-style dual-model LanPaint inpainting")
-    p.add_argument("--switch-at", type=float, default=0.5,
-                   help="flow-time boundary between the two experts")
+    p = example_argparser("Ideogram4 dual-model LanPaint inpainting")
     args = p.parse_args()
 
-    # two experts (plug real checkpoints into the same pattern)
-    high, _ = build_tiny_dit(seed=0)
-    low, _ = build_tiny_dit(seed=1)
-    model = switching_denoiser(high, low, boundary=args.switch_at,
-                               name="ideogram4-dual")
-    cfg_latent = high.latent_channels
+    # conditional + unconditional experts (plug real checkpoints here)
+    positive_model, _ = build_tiny_dit(seed=0)
+    negative_model, _ = build_tiny_dit(seed=1)
+    model = dual_model_denoiser(positive_model, negative_model,
+                                name="ideogram4-dual")
     b, hw = 1, 16
     cond = {"context": jnp.zeros((b, 8, 32), jnp.float32),
             "vec": jnp.zeros((b, 16), jnp.float32)}
+    neg = {"context": jnp.zeros((b, 8, 32), jnp.float32),
+           "vec": jnp.zeros((b, 16), jnp.float32),
+           "model_select": jnp.ones(())}
 
-    latent = jnp.zeros((b, cfg_latent, hw, hw), jnp.float32)
+    latent = jnp.zeros((b, model.latent_channels, hw, hw), jnp.float32)
     mask = center_square_mask(hw * 8, hw * 8)
     sigmas = jnp.asarray(calculate_sigmas(model.sigma_table, "simple", 20))
 
     out, denoised = sample_custom_advanced(
-        model, noise_seed=args.seed, cfg=4.0, positive=cond,
+        model, noise_seed=args.seed, cfg=4.0, positive=cond, negative=neg,
         sampler_name="euler", sigmas=sigmas, latent=latent, mask=mask,
-        num_steps=5, lamb=16.0, step_size=0.2,
+        num_steps=5, lamb=16.0, step_size=0.2, sequential_cfg=True,
     )
     report("ideogram4_dual_model", out)
 

@@ -101,3 +101,5 @@ def make_cfg_double_denoiser(
         return x0_u + delta * cfg, x0_u + delta * cfg_big
 
     return denoise_double
+
+
