@@ -128,6 +128,14 @@ def _t_in(kind, w):
         return t_conv2d(w)
     if kind == "linear_or_conv1x1":
         return t_linear(w[:, :, 0, 0] if w.ndim == 4 else w)
+    if kind == "conv3d":
+        # (O, I, kt, kh, kw) -> NDHWC kernel (kt, kh, kw, I, O)
+        return np.transpose(w, (2, 3, 4, 1, 0))
+    if kind == "conv2d3d":
+        # torch Conv2d inside a 3D graph -> our (1, kh, kw, I, O) kernel
+        return np.transpose(w[:, :, None], (2, 3, 4, 1, 0))
+    if kind in ("gamma4", "gamma3"):
+        return w.reshape(-1)  # Wan RMS_norm gamma (C,1,1,1)/(C,1,1) -> (C,)
     if isinstance(kind, tuple) and kind[0] == "conv3d_as_linear":
         # (O, I, pf, ph, pw) Conv3D kernel -> our patchify Dense (I*p, O)
         return w.reshape(w.shape[0], -1).T if w.ndim == 5 else w
@@ -140,6 +148,14 @@ def _t_out(kind, w):
         return np.transpose(w, (1, 0))
     if kind in ("conv", "conv_nb"):
         return np.transpose(w, (3, 2, 0, 1))
+    if kind == "conv3d":
+        return np.transpose(w, (4, 3, 0, 1, 2))
+    if kind == "conv2d3d":
+        return np.transpose(w, (4, 3, 0, 1, 2))[:, :, 0]
+    if kind == "gamma4":
+        return w.reshape(-1, 1, 1, 1)
+    if kind == "gamma3":
+        return w.reshape(-1, 1, 1)
     if isinstance(kind, tuple) and kind[0] == "conv3d_as_linear":
         if w.ndim == 2:  # kernel (I*pf*ph*pw, O) -> (O, I, pf, ph, pw)
             return np.transpose(w, (1, 0)).reshape(w.shape[1], *kind[1])
@@ -155,6 +171,8 @@ def _leaves(kind):
         return [("weight", "scale"), ("bias", "bias")]
     if kind == "rms":
         return [("scale", "scale")]
+    if kind in ("gamma4", "gamma3"):
+        return [("gamma", "gamma")]
     if kind in ("linear_nb", "conv_nb"):
         return [("weight", "kernel")]
     if kind == "raw":
@@ -588,8 +606,9 @@ def _import(state, entries, prefix):
             key = prefix + ckpt + ("." + suffix if suffix else "")
             if key not in state:
                 continue
-            # layout transforms apply to weight tensors only, never biases
-            val = _t_in(kind, state[key]) if suffix == "weight" else state[key]
+            # layout transforms apply to weight/gamma tensors, never biases
+            val = (_t_in(kind, state[key])
+                   if suffix in ("weight", "gamma") else state[key])
             p = tuple(path) + ((leaf,) if leaf else ())
             if stack is None:
                 tb.set(p, val)
@@ -609,7 +628,7 @@ def _export(params, entries, prefix):
             w = flat[p]
             if stack is not None:
                 w = w[stack[0]]
-            if suffix == "weight":
+            if suffix in ("weight", "gamma"):
                 w = _t_out(kind, w)
             out[prefix + ckpt + ("." + suffix if suffix else "")] = w
     return out
@@ -882,6 +901,101 @@ def _hyvideo_entries(cfg):
             (f"{b}.norm.key_norm", p + ("k_norm",), "rms", st),
         ]
     return e
+
+
+def _wan_vae_entries(cfg):
+    """Wan2.1 causal video VAE (models/video_vae.py) <-> the public
+    wan_2.1_vae.safetensors / qwen_image_vae.safetensors layout
+    (Wan-Video `wan/modules/vae.py` module structure: numeric nn.Sequential
+    indices `encoder.downsamples.{i}.residual.{0,2,3,6}`, middle
+    res/attn/res, `conv1`/`conv2` quant pair, decoder mirror with
+    `num_res_blocks+1` blocks per stage)."""
+
+    def res(ckpt, flax, cin, cout):
+        out = [
+            (f"{ckpt}.residual.0", flax + ("norm1",), "gamma4", None),
+            (f"{ckpt}.residual.2", flax + ("conv1", "conv"), "conv3d", None),
+            (f"{ckpt}.residual.3", flax + ("norm2",), "gamma4", None),
+            (f"{ckpt}.residual.6", flax + ("conv2", "conv"), "conv3d", None),
+        ]
+        if cin != cout:
+            out.append((f"{ckpt}.shortcut", flax + ("shortcut", "conv"),
+                        "conv3d", None))
+        return out
+
+    def attn(ckpt, flax):
+        return [
+            (f"{ckpt}.norm", flax + ("norm",), "gamma3", None),
+            (f"{ckpt}.to_qkv", flax + ("to_qkv",), "conv2d3d", None),
+            (f"{ckpt}.proj", flax + ("proj",), "conv2d3d", None),
+        ]
+
+    e = [("encoder.conv1", ("encoder", "conv1", "conv"), "conv3d", None)]
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    idx = 0
+    cin = dims[0]
+    for i in range(len(cfg.dim_mult)):
+        cout = dims[i + 1]
+        for j in range(cfg.num_res_blocks):
+            e += res(f"encoder.downsamples.{idx}",
+                     ("encoder", f"down_{i}_block_{j}"), cin, cout)
+            cin = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            e.append((f"encoder.downsamples.{idx}.resample.1",
+                      ("encoder", f"down_{i}_ds", "resample", "conv"),
+                      "conv2d3d", None))
+            if cfg.temporal_downsample[i]:
+                e.append((f"encoder.downsamples.{idx}.time_conv",
+                          ("encoder", f"down_{i}_ds", "time_conv"),
+                          "conv3d", None))
+            idx += 1
+    c = dims[-1]
+    e += res("encoder.middle.0", ("encoder", "mid_block_1"), c, c)
+    e += attn("encoder.middle.1", ("encoder", "mid_attn"))
+    e += res("encoder.middle.2", ("encoder", "mid_block_2"), c, c)
+    e += [("encoder.head.0", ("encoder", "head_norm"), "gamma4", None),
+          ("encoder.head.2", ("encoder", "head_conv", "conv"), "conv3d", None),
+          ("conv1", ("quant_conv", "conv"), "conv3d", None),
+          ("conv2", ("post_quant_conv", "conv"), "conv3d", None),
+          ("decoder.conv1", ("decoder", "conv1", "conv"), "conv3d", None)]
+    rev = tuple(reversed(cfg.dim_mult))
+    ddims = [cfg.dim * u for u in (rev[0],) + rev]
+    temporal_up = tuple(reversed(cfg.temporal_downsample))
+    c = ddims[0]
+    e += res("decoder.middle.0", ("decoder", "mid_block_1"), c, c)
+    e += attn("decoder.middle.1", ("decoder", "mid_attn"))
+    e += res("decoder.middle.2", ("decoder", "mid_block_2"), c, c)
+    idx = 0
+    cin = ddims[0]
+    for i in range(len(cfg.dim_mult)):
+        cout = ddims[i + 1]
+        for j in range(cfg.num_res_blocks + 1):
+            e += res(f"decoder.upsamples.{idx}",
+                     ("decoder", f"up_{i}_block_{j}"), cin, cout)
+            cin = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            if temporal_up[i]:
+                e.append((f"decoder.upsamples.{idx}.time_conv",
+                          ("decoder", f"up_{i}_us", "time_conv"),
+                          "conv3d", None))
+            e.append((f"decoder.upsamples.{idx}.resample.1",
+                      ("decoder", f"up_{i}_us", "resample", "conv"),
+                      "conv2d3d", None))
+            idx += 1
+            cin = cout // 2  # upsample conv halves the width
+    e += [("decoder.head.0", ("decoder", "head_norm"), "gamma4", None),
+          ("decoder.head.2", ("decoder", "head_conv", "conv"), "conv3d", None)]
+    return e
+
+
+def import_wan_vae(state, cfg, prefix: str = "") -> dict:
+    return _import(state, _wan_vae_entries(cfg), prefix)
+
+
+def export_wan_vae(params, cfg, prefix: str = "") -> dict:
+    return _export(params, _wan_vae_entries(cfg), prefix)
 
 
 def import_hyvideo(state, cfg, prefix: str = "") -> dict:

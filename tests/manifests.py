@@ -332,6 +332,88 @@ def hyvideo_manifest(cfg, prefix=""):
 
 
 # ---------------------------------------------------------------------------
+# Wan2.1 causal video VAE (Wan-Video wan/modules/vae.py module structure;
+# the same file ships as qwen_image_vae.safetensors)
+
+
+def wan_vae_manifest(cfg, prefix=""):
+    m = {}
+    p = prefix
+
+    def conv3(k, o, i, kt=3, kh=3, kw=3):
+        m[k + ".weight"] = (o, i, kt, kh, kw)
+        m[k + ".bias"] = (o,)
+
+    def conv2(k, o, i, s=3):
+        m[k + ".weight"] = (o, i, s, s)
+        m[k + ".bias"] = (o,)
+
+    def res(k, cin, cout):
+        m[k + ".residual.0.gamma"] = (cin, 1, 1, 1)
+        conv3(k + ".residual.2", cout, cin)
+        m[k + ".residual.3.gamma"] = (cout, 1, 1, 1)
+        conv3(k + ".residual.6", cout, cout)
+        if cin != cout:
+            conv3(k + ".shortcut", cout, cin, 1, 1, 1)
+
+    def attn(k, c):
+        m[k + ".norm.gamma"] = (c, 1, 1)   # RMS_norm(images=True)
+        conv2(k + ".to_qkv", 3 * c, c, 1)
+        conv2(k + ".proj", c, c, 1)
+
+    dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    conv3(p + "encoder.conv1", dims[0], 3)
+    idx = 0
+    cin = dims[0]
+    for i in range(len(cfg.dim_mult)):
+        cout = dims[i + 1]
+        for _ in range(cfg.num_res_blocks):
+            res(f"{p}encoder.downsamples.{idx}", cin, cout)
+            cin = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            conv2(f"{p}encoder.downsamples.{idx}.resample.1", cout, cout)
+            if cfg.temporal_downsample[i]:
+                conv3(f"{p}encoder.downsamples.{idx}.time_conv",
+                      cout, cout, 3, 1, 1)
+            idx += 1
+    c = dims[-1]
+    res(p + "encoder.middle.0", c, c)
+    attn(p + "encoder.middle.1", c)
+    res(p + "encoder.middle.2", c, c)
+    m[p + "encoder.head.0.gamma"] = (c, 1, 1, 1)
+    conv3(p + "encoder.head.2", 2 * cfg.z_channels, c)
+    conv3(p + "conv1", 2 * cfg.z_channels, 2 * cfg.z_channels, 1, 1, 1)
+    conv3(p + "conv2", cfg.z_channels, cfg.z_channels, 1, 1, 1)
+
+    rev = tuple(reversed(cfg.dim_mult))
+    ddims = [cfg.dim * u for u in (rev[0],) + rev]
+    conv3(p + "decoder.conv1", ddims[0], cfg.z_channels)
+    c = ddims[0]
+    res(p + "decoder.middle.0", c, c)
+    attn(p + "decoder.middle.1", c)
+    res(p + "decoder.middle.2", c, c)
+    idx = 0
+    cin = ddims[0]
+    for i in range(len(cfg.dim_mult)):
+        cout = ddims[i + 1]
+        for _ in range(cfg.num_res_blocks + 1):
+            res(f"{p}decoder.upsamples.{idx}", cin, cout)
+            cin = cout
+            idx += 1
+        if i != len(cfg.dim_mult) - 1:
+            if tuple(reversed(cfg.temporal_downsample))[i]:
+                conv3(f"{p}decoder.upsamples.{idx}.time_conv",
+                      2 * cout, cout, 3, 1, 1)
+            conv2(f"{p}decoder.upsamples.{idx}.resample.1", cout // 2, cout)
+            idx += 1
+            cin = cout // 2
+    m[p + "decoder.head.0.gamma"] = (cin, 1, 1, 1)
+    conv3(p + "decoder.head.2", 3, cin)
+    return m
+
+
+# ---------------------------------------------------------------------------
 # Qwen-Image (diffusers QwenImageTransformer2DModel layout)
 
 

@@ -211,6 +211,51 @@ def test_hyvideo_import_export_roundtrip_tiny():
                                       np.asarray(flat_b[k]), err_msg=str(k))
 
 
+# -- Wan2.1 video VAE (Wan-Video layout; also qwen_image_vae) -----------------
+
+
+def test_wan_vae_key_parity_full_scale():
+    from lanpaint_tpu.models.video_vae import WAN21_VAE_CONFIG
+
+    man = M.wan_vae_manifest(WAN21_VAE_CONFIG)
+    _key_parity(man, L._wan_vae_entries(WAN21_VAE_CONFIG), "")
+    # headline facts of the public release
+    assert man["encoder.conv1.weight"] == (96, 3, 3, 3, 3)
+    assert man["encoder.head.2.weight"] == (32, 384, 3, 3, 3)
+    assert man["decoder.conv1.weight"] == (384, 16, 3, 3, 3)
+    assert man["decoder.upsamples.3.time_conv.weight"] == (768, 384, 3, 1, 1)
+    assert man["decoder.head.2.weight"] == (3, 96, 3, 3, 3)
+
+
+def test_wan_vae_shape_parity_tiny():
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN_VAE_CONFIG
+    module = WanVAE(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 3, 5, 16, 16)))
+    man = M.wan_vae_manifest(cfg)
+    _shape_parity(man, L.export_wan_vae(params, cfg))
+
+
+def test_wan_vae_import_export_roundtrip_tiny():
+    import numpy as np
+
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN_VAE_CONFIG
+    module = WanVAE(cfg)
+    params = module.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 5, 16, 16)))
+    state = L.export_wan_vae(params, cfg)
+    back = L.import_wan_vae(state, cfg)
+    flat_a = L._tree_to_flat(params["params"])
+    flat_b = L._tree_to_flat(back["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+
 # -- Qwen-Image (diffusers layout) --------------------------------------------
 
 

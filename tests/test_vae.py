@@ -129,3 +129,60 @@ def test_inpaint_image_pixel_pipeline(tiny_vae, key):
     # far outside the (dilated+feathered) mask the original pixels survive
     np.testing.assert_allclose(np.asarray(out)[..., :8, :8],
                                np.asarray(image)[..., :8, :8], atol=1e-4)
+
+
+# -- Wan2.1 causal video VAE --------------------------------------------------
+
+
+def test_wan_vae_frame_law_and_shapes(key):
+    """1+4k pixel frames -> 1+k latent frames -> back; 8x spatial."""
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN_VAE_CONFIG  # one temporal stage: 2x time, 2x spatial
+    module = WanVAE(cfg)
+    x = jax.random.normal(key, (1, 3, 5, 16, 16), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    z = module.apply(params, x, method="encode")
+    assert z.shape == (1, cfg.z_channels, 3, 8, 8)  # (5-1)/2+1 frames
+    out = module.apply(params, z, method="decode")
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_wan_vae_image_case(key):
+    """T=1 (image) path: the causal graph degenerates to a 2D autoencoder —
+    the Qwen-Image / Krea2 / Anima / Wan-T2I usage."""
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN_VAE_CONFIG
+    module = WanVAE(cfg)
+    x = jax.random.normal(key, (1, 3, 1, 16, 16), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    z = module.apply(params, x, method="encode")
+    assert z.shape == (1, cfg.z_channels, 1, 8, 8)
+    out = module.apply(params, z, method="decode")
+    assert out.shape == x.shape
+
+
+def test_wan_vae_normalization_applied(key):
+    """latents_mean/std shift the encode output and invert on decode."""
+    import dataclasses
+
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+
+    base = TINY_WAN_VAE_CONFIG
+    z = base.z_channels
+    cfg_n = dataclasses.replace(base, latents_mean=(0.5,) * z,
+                                latents_std=(2.0,) * z)
+    x = jax.random.normal(key, (1, 3, 1, 16, 16), jnp.float32)
+    m0 = WanVAE(base)
+    mn = WanVAE(cfg_n)
+    params = m0.init(jax.random.PRNGKey(0), x)
+    z_raw = m0.apply(params, x, method="encode")
+    z_norm = mn.apply(params, x, method="encode")
+    np.testing.assert_allclose(np.asarray(z_norm),
+                               (np.asarray(z_raw) - 0.5) / 2.0, atol=1e-5)
+    # decode inverts the normalization: same pixels from either latent
+    np.testing.assert_allclose(np.asarray(m0.apply(params, z_raw, method="decode")),
+                               np.asarray(mn.apply(params, z_norm, method="decode")),
+                               atol=1e-4)
