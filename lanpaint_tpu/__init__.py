@@ -10,6 +10,7 @@ kernels) driving JAX diffusion backbones.
 from .api import (  # noqa: F401
     LanPaintSampler,
     inpaint_image,
+    inpaint_video,
     ksampler,
     ksampler_advanced,
     sample_custom,

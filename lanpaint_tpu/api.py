@@ -537,3 +537,58 @@ def inpaint_image(
     m = jnp.broadcast_to(m, img_hwc.shape[:3])
     blended = mask_blend(img_hwc, dec_hwc, m, blend_overlap=blend_overlap)
     return jnp.transpose(blended, (0, 3, 1, 2))
+
+
+def inpaint_video(
+    model: Denoiser,
+    vae_module,
+    vae_params,
+    *,
+    video: jnp.ndarray,
+    mask: jnp.ndarray,
+    positive: Any,
+    negative: Any = None,
+    seed: int = 0,
+    steps: int = 20,
+    cfg: float = 5.0,
+    sampler_name: str = "euler",
+    scheduler: str = "simple",
+    num_steps: int = 2,
+    prompt_mode: str = "Image First",
+    blend_overlap: int = 9,
+    **sampler_kwargs,
+):
+    """Pixel-space VIDEO inpainting: Wan VAE encode -> LanPaint (video mask
+    path) -> decode -> per-frame MaskBlend.
+
+    The video analog of `inpaint_image` — the reference runs this graph
+    through ComfyUI (VAEEncode with wan_2.1_vae -> LanPaint_KSampler 🎬 ->
+    VAEDecode, reference README.md:205-268 video workflows).  `video` is
+    (B, 3, T, H, W) in [-1, 1] with T = 1+4k and H/W multiples of 8
+    (`models.video_vae.WanVAE` conventions); `mask` is a (T, H, W) or
+    (H, W) pixel mask (1 = repaint; 2D masks apply to every frame).
+    Returns (B, 3, T, H, W).
+    """
+    from .masks import mask_blend
+
+    latent = vae_module.apply(vae_params, video, method="encode")
+    out_latent = ksampler(
+        model, seed=seed, steps=steps, cfg=cfg, sampler_name=sampler_name,
+        scheduler=scheduler, positive=positive, negative=negative,
+        latent=latent, mask=mask, num_steps=num_steps,
+        prompt_mode=prompt_mode, video=True, **sampler_kwargs,
+    )
+    decoded = vae_module.apply(vae_params, out_latent, method="decode")
+    if blend_overlap <= 0:
+        return decoded
+    b, _, t, hh, ww = video.shape
+    m = jnp.asarray(mask, jnp.float32)
+    if m.ndim == 2:
+        m = jnp.broadcast_to(m[None], (t, hh, ww))
+    # fold frames into the batch axis for the 2D blend
+    img_hwc = jnp.transpose(video, (0, 2, 3, 4, 1)).reshape(b * t, hh, ww, 3)
+    dec_hwc = jnp.transpose(decoded, (0, 2, 3, 4, 1)).reshape(
+        b * t, hh, ww, 3).astype(img_hwc.dtype)
+    mf = jnp.broadcast_to(m[None], (b, t, hh, ww)).reshape(b * t, hh, ww)
+    blended = mask_blend(img_hwc, dec_hwc, mf, blend_overlap=blend_overlap)
+    return jnp.transpose(blended.reshape(b, t, hh, ww, 3), (0, 4, 1, 2, 3))

@@ -56,8 +56,10 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
     fp32 S_q x S_kv score matrix — 8.8 GB at Wan video scale, measured OOM),
     "flash" (the Pallas TPU flash-attention kernel — O(S) memory, the
     long-video path, SURVEY.md section 5 long-context), or "auto" (flash on
-    TPU for self-attention with S >= 2048 and D % 128 == 0).  Unaligned
-    sequence lengths are zero-padded to the flash block size with
+    TPU for self-attention with S >= 1024 and D % 64 == 0; measured on v5e:
+    flash wins from S=1024 up even at D=64 — 1.86 vs 4.33 ms at S=4096
+    H=10, 0.81 vs 1.18 ms at S=1024 H=20, the SDXL-1024 shapes).
+    Unaligned sequence lengths are zero-padded to the flash block size with
     segment-id masking, so any S works.
     """
     b, s, h, d = q.shape
@@ -65,7 +67,7 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
     use_flash = impl == "flash" or (
         impl == "auto"
         and jax.default_backend() == "tpu"
-        and s == sk and s >= 2048 and d % 128 == 0
+        and s == sk and s >= 1024 and d % 64 == 0
     )
     if use_flash:
         from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -96,14 +98,19 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
 def attention(q, k, v, *, num_heads: int, mask=None):
     """Multi-head attention on (B, S, H*D) tensors; returns (B, S, H*D).
 
-    Uses jax.nn.dot_product_attention (fused on TPU).  fp32 accumulation is
-    implicit on the MXU via preferred element types inside the kernel.
+    Unmasked calls route through attention_bshd, so long self-attention
+    (the UNet's 64x64 spatial streams at SDXL-1024) takes the flash kernel
+    — measured 2.3x faster than the XLA path at S=4096 D=64 on v5e.
+    Masked calls use jax.nn.dot_product_attention (fused on TPU; fp32
+    accumulation is implicit on the MXU).
     """
     b, sq, _ = q.shape
     sk = k.shape[1]
     q = q.reshape(b, sq, num_heads, -1)
     k = k.reshape(b, sk, num_heads, -1)
     v = v.reshape(b, sk, num_heads, -1)
+    if mask is None:
+        return attention_bshd(q, k, v).reshape(b, sq, -1)
     out = jax.nn.dot_product_attention(q, k, v, mask=mask)
     return out.reshape(b, sq, -1)
 

@@ -186,3 +186,34 @@ def test_wan_vae_normalization_applied(key):
     np.testing.assert_allclose(np.asarray(m0.apply(params, z_raw, method="decode")),
                                np.asarray(mn.apply(params, z_norm, method="decode")),
                                atol=1e-4)
+
+
+def test_inpaint_video_pixel_pipeline(key):
+    """Full pixel-level VIDEO path: Wan VAE encode -> LanPaint (video mask)
+    -> decode -> per-frame MaskBlend."""
+    from lanpaint_tpu import inpaint_video
+    from lanpaint_tpu.models.video_vae import TINY_WAN_VAE_CONFIG, WanVAE
+    from lanpaint_tpu.models.zoo import build_wan
+    from lanpaint_tpu.models.wan import TINY_WAN_CONFIG
+    import dataclasses
+
+    vae_cfg = TINY_WAN_VAE_CONFIG
+    vae = WanVAE(vae_cfg)
+    video = jnp.tanh(jax.random.normal(key, (1, 3, 5, 32, 32), jnp.float32))
+    vae_params = vae.init(jax.random.PRNGKey(0), video)
+    wan_cfg = dataclasses.replace(TINY_WAN_CONFIG,
+                                  in_channels=vae_cfg.z_channels,
+                                  out_channels=vae_cfg.z_channels)
+    den, _ = build_wan(wan_cfg, name="tiny-wan-vae")
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    cond = {"context": jnp.zeros((1, 8, wan_cfg.context_dim), jnp.float32)}
+    out = inpaint_video(
+        den, vae, vae_params, video=video, mask=jnp.asarray(mask),
+        positive=cond, seed=0, steps=3, cfg=1.0, num_steps=1,
+        blend_overlap=5)
+    assert out.shape == video.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # far outside the (dilated+feathered) mask the original pixels survive
+    np.testing.assert_allclose(np.asarray(out)[..., :2, :2],
+                               np.asarray(video)[..., :2, :2], atol=1e-4)
