@@ -1126,6 +1126,9 @@ def _llama_entries(cfg):
             (f"{b}.mlp.up_proj", ("layers", "up"), "linear", st),
             (f"{b}.mlp.down_proj", ("layers", "down"), "linear", st),
         ]
+        if getattr(cfg, "qk_norm", False):  # Qwen3 per-head q/k RMSNorm
+            e += [(f"{b}.self_attn.q_norm", ("layers", "q_norm"), "ln", st),
+                  (f"{b}.self_attn.k_norm", ("layers", "k_norm"), "ln", st)]
     return e
 
 

@@ -10,8 +10,10 @@ supported backbone draws from (SURVEY.md section 2 model matrix):
 - T5 encoder (T5-XXL) and UMT5 (per-layer relative bias): SD3.5, Flux,
   HiDream, Wan2.2.
 - Llama-architecture causal LM hidden states (Llama-3.1-8B for HiDream,
-  Qwen2.5 text stack for Qwen-Image): RoPE + RMSNorm + SwiGLU + GQA,
-  optional QKV bias (Qwen2).
+  Qwen2.5 text stack for Qwen-Image, Qwen3 0.6B/4B/8B for the
+  Anima/Flux.2-Klein/Krea2/Ideogram4 families): RoPE + RMSNorm + SwiGLU +
+  GQA, optional QKV bias (Qwen2), optional per-head qk-norm + decoupled
+  head_dim (Qwen3).
 
 All encoders run under jit on device (bf16 compute, fp32 norms/logits where
 it matters) and load HF-layout safetensors via `load.import_clip/import_t5/
@@ -270,7 +272,15 @@ class LlamaConfig:
     rope_scaling: Optional[Tuple[float, float, float, int]] = None
     qkv_bias: bool = False            # True = Qwen2/Qwen2.5
     rms_eps: float = 1e-5
+    # Qwen3 family: explicit head width (decoupled from dim//heads) and
+    # per-head RMS q/k-norm before RoPE
+    head_dim: Optional[int] = None
+    qk_norm: bool = False
     dtype: jnp.dtype = jnp.float32
+
+    @property
+    def head_width(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.dim // self.heads
 
 
 LLAMA31_8B_CONFIG = LlamaConfig(rope_scaling=(8.0, 1.0, 4.0, 8192))
@@ -279,6 +289,22 @@ QWEN25_7B_CONFIG = LlamaConfig(vocab_size=152064, dim=3584, layers=28,
                                heads=28, kv_heads=4, intermediate=18944,
                                rope_theta=1000000.0, qkv_bias=True,
                                rms_eps=1e-6)
+# Qwen3 dense text stacks — the prompt encoders the reference's newest
+# workflow families pin (docs/family_facts.md): 0.6B = Anima, 4B =
+# Flux.2-Klein-4b / Krea2 (VL text tower), 8B = Flux.2-Klein-9b /
+# Ideogram4 (VL text tower).  All use head_dim 128 + per-head qk-norm.
+QWEN3_06B_CONFIG = LlamaConfig(vocab_size=151936, dim=1024, layers=28,
+                               heads=16, kv_heads=8, intermediate=3072,
+                               rope_theta=1000000.0, rms_eps=1e-6,
+                               head_dim=128, qk_norm=True)
+QWEN3_4B_CONFIG = LlamaConfig(vocab_size=151936, dim=2560, layers=36,
+                              heads=32, kv_heads=8, intermediate=9728,
+                              rope_theta=1000000.0, rms_eps=1e-6,
+                              head_dim=128, qk_norm=True)
+QWEN3_8B_CONFIG = LlamaConfig(vocab_size=151936, dim=4096, layers=36,
+                              heads=32, kv_heads=8, intermediate=12288,
+                              rope_theta=1000000.0, rms_eps=1e-6,
+                              head_dim=128, qk_norm=True)
 
 
 def _llama3_scale_inv_freq(inv: np.ndarray, factor: float, low: float,
@@ -316,7 +342,7 @@ class _LlamaLayer(nn.Module):
         cos, sin, mask = inputs
         c = self.cfg
         dt = c.dtype
-        hd = c.dim // c.heads
+        hd = c.head_width
         h = _RMS(eps=c.rms_eps, name="ln1")(x)
         q = nn.Dense(c.heads * hd, use_bias=c.qkv_bias, dtype=dt, name="q")(h)
         k = nn.Dense(c.kv_heads * hd, use_bias=c.qkv_bias, dtype=dt, name="k")(h)
@@ -325,6 +351,9 @@ class _LlamaLayer(nn.Module):
         q = q.reshape(b, s, c.heads, hd)
         k = k.reshape(b, s, c.kv_heads, hd)
         v = v.reshape(b, s, c.kv_heads, hd)
+        if c.qk_norm:  # Qwen3: per-head RMS over head_dim, before RoPE
+            q = _RMS(eps=c.rms_eps, name="q_norm")(q)
+            k = _RMS(eps=c.rms_eps, name="k_norm")(k)
         # RoPE in fp32 (HF applies it on (B, H, S, D); ours is (B, S, H, D))
         cs, sn = cos[None, :, None].astype(jnp.float32), sin[None, :, None].astype(jnp.float32)
         q = (q.astype(jnp.float32) * cs + _rotate_half(q.astype(jnp.float32)) * sn).astype(dt)
@@ -360,7 +389,7 @@ class LlamaEncoder(nn.Module):
         emb = self.param("embed_tokens", nn.initializers.normal(0.02),
                          (c.vocab_size, c.dim), jnp.float32)
         x = emb[ids].astype(c.dtype)
-        cos, sin = _llama_rope(s, c.dim // c.heads, c.rope_theta,
+        cos, sin = _llama_rope(s, c.head_width, c.rope_theta,
                                c.rope_scaling)
         causal = jnp.tril(jnp.ones((s, s), bool))
         if attn_mask is not None:

@@ -195,7 +195,7 @@ def encode_prompt(prompt: str, *, family: str,
 
     Families mirror `encode_prompt_hf`: sd15 (clip_l), sdxl (clip_l+clip_g),
     sd3 (clip_l+clip_g+t5), flux (clip_l+t5), qwen/wan (llama/t5),
-    hidream (t5+clip_l+llama).  CLIP hidden states use each encoder's
+    qwen3 (bare Qwen3 states: Anima/Klein/Krea2), hidream (t5+clip_l+llama).  CLIP hidden states use each encoder's
     clip_skip (default 2 = penultimate, the hosts' convention).
     """
 
@@ -229,6 +229,15 @@ def encode_prompt(prompt: str, *, family: str,
                                34 if tpl is QWEN_IMAGE_TEMPLATE else 0)
         _hs, final = llama(tpl.format(prompt) if tpl else prompt)
         return qwen_cond(final[:, drop:])
+    if family == "qwen3":
+        # Plain Qwen3 final hidden states as context — the prompt stack of
+        # the Anima / Flux.2-Klein / Krea2 families (docs/family_facts.md;
+        # encoders models/textenc.py QWEN3_*_CONFIG).  Their exact
+        # chat-template conventions are offline-unknown; pass template= to
+        # wrap the prompt once known.
+        tpl = assemble_kw.pop("template", None)
+        _hs, final = llama(tpl.format(prompt) if tpl else prompt)
+        return qwen_cond(final)
     if family == "hidream":
         hs, _final = llama(prompt)
         pooled = clip_out(clip_l)[1]

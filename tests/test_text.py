@@ -158,6 +158,9 @@ def test_native_encode_prompt_families():
     cond = T.encode_prompt("a cat", family="qwen", llama=llama)
     assert cond["context"].shape[0] == 1 and cond["context"].shape[2] == 16
 
+    cond = T.encode_prompt("a cat", family="qwen3", llama=llama)
+    assert cond["context"].shape[0] == 1 and cond["context"].shape[2] == 16
+
     cond = T.encode_prompt("a cat", family="hidream", clip_l=clip_g, t5=t5,
                            llama=llama, t5_length=16)
     assert cond["llama"].shape[0] == 2  # per-layer stack (layers, B, S, D)

@@ -310,3 +310,41 @@ def test_split_checkpoint_sd3_style():
     comps = L.split_checkpoint(state)
     assert set(comps) == {"unet", "vae", "clip_l", "clip_g", "t5"}
     assert "shared.weight" in comps["t5"]
+
+
+def test_qwen3_golden_qk_norm_head_dim():
+    """Qwen3 (the Anima/Klein/Krea2/Ideogram4 prompt-encoder family):
+    per-head RMS qk-norm before RoPE and head_dim decoupled from
+    hidden//heads, vs transformers Qwen3Model."""
+    torch.manual_seed(0)
+    hf = transformers.Qwen3Model(transformers.Qwen3Config(
+        vocab_size=100, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        intermediate_size=64, max_position_embeddings=64,
+        rope_theta=10000.0, rms_norm_eps=1e-6,
+        attention_bias=False)).eval()
+    cfg = TE.LlamaConfig(vocab_size=100, dim=32, layers=2, heads=4,
+                         kv_heads=2, intermediate=64, rope_theta=10000.0,
+                         rms_eps=1e-6, head_dim=16, qk_norm=True)
+    ids = _ids(np.random.default_rng(7), 100)
+    mask = np.ones_like(ids)
+    mask[0, 8:] = 0
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask)).last_hidden_state
+    params = L.import_llama(_np_state(hf), cfg, prefix="")
+    _, final = TE.llama_encode(params, jnp.asarray(ids), cfg,
+                               attn_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(final, np.float32)[:, :8],
+                               ref.numpy()[:, :8], rtol=1e-4, atol=1e-5)
+
+
+def test_qwen3_full_scale_config_facts():
+    """The vendored Qwen3 configs match the public releases' headline dims."""
+    for cfg, dim, layers, inter in [
+        (TE.QWEN3_06B_CONFIG, 1024, 28, 3072),
+        (TE.QWEN3_4B_CONFIG, 2560, 36, 9728),
+        (TE.QWEN3_8B_CONFIG, 4096, 36, 12288),
+    ]:
+        assert (cfg.dim, cfg.layers, cfg.intermediate) == (dim, layers, inter)
+        assert cfg.head_width == 128 and cfg.qk_norm and cfg.kv_heads == 8
