@@ -564,10 +564,11 @@ def inpaint_video(
     The video analog of `inpaint_image` — the reference runs this graph
     through ComfyUI (VAEEncode with wan_2.1_vae -> LanPaint_KSampler 🎬 ->
     VAEDecode, reference README.md:205-268 video workflows).  `video` is
-    (B, 3, T, H, W) in [-1, 1] with T = 1+4k and H/W multiples of 8
-    (`models.video_vae.WanVAE` conventions); `mask` is a (T, H, W) or
-    (H, W) pixel mask (1 = repaint; 2D masks apply to every frame).
-    Returns (B, 3, T, H, W).
+    (B, 3, T, H, W) in [-1, 1] with T = 1+4k and H/W multiples of the
+    VAE's spatial stride (8 for Wan2.1, 16 for the Wan2.2/TI2V-5B VAE —
+    both are `models.video_vae.WanVAE` configs and plug in unchanged);
+    `mask` is a (T, H, W) or (H, W) pixel mask (1 = repaint; 2D masks
+    apply to every frame).  Returns (B, 3, T, H, W).
     """
     from .masks import mask_blend
 

@@ -904,12 +904,17 @@ def _hyvideo_entries(cfg):
 
 
 def _wan_vae_entries(cfg):
-    """Wan2.1 causal video VAE (models/video_vae.py) <-> the public
+    """Wan causal video VAE (models/video_vae.py) <-> the public
     wan_2.1_vae.safetensors / qwen_image_vae.safetensors layout
     (Wan-Video `wan/modules/vae.py` module structure: numeric nn.Sequential
     indices `encoder.downsamples.{i}.residual.{0,2,3,6}`, middle
     res/attn/res, `conv1`/`conv2` quant pair, decoder mirror with
-    `num_res_blocks+1` blocks per stage)."""
+    `num_res_blocks+1` blocks per stage).  With `cfg.stage_shortcuts`
+    (Wan2.2, `wan/modules/vae2_2.py`) each stage nests one more Sequential
+    level — `encoder.downsamples.{i}.downsamples.{j}` /
+    `decoder.upsamples.{i}.upsamples.{j}` — the AvgDown3D/DupUp3D shortcuts
+    are parameter-free, and the decoder's upsample conv keeps its width
+    (recalled layout, unverified offline: docs/family_facts.md)."""
 
     def res(ckpt, flax, cin, cout):
         out = [
@@ -932,21 +937,27 @@ def _wan_vae_entries(cfg):
 
     e = [("encoder.conv1", ("encoder", "conv1", "conv"), "conv3d", None)]
     dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+    nested = cfg.stage_shortcuts  # Wan2.2 vae2_2.py Down_/Up_ResidualBlock
     idx = 0
     cin = dims[0]
     for i in range(len(cfg.dim_mult)):
         cout = dims[i + 1]
+        if nested:
+            stage = f"encoder.downsamples.{i}.downsamples"
+            idx = 0
+        else:
+            stage = "encoder.downsamples"
         for j in range(cfg.num_res_blocks):
-            e += res(f"encoder.downsamples.{idx}",
+            e += res(f"{stage}.{idx}",
                      ("encoder", f"down_{i}_block_{j}"), cin, cout)
             cin = cout
             idx += 1
         if i != len(cfg.dim_mult) - 1:
-            e.append((f"encoder.downsamples.{idx}.resample.1",
+            e.append((f"{stage}.{idx}.resample.1",
                       ("encoder", f"down_{i}_ds", "resample", "conv"),
                       "conv2d3d", None))
             if cfg.temporal_downsample[i]:
-                e.append((f"encoder.downsamples.{idx}.time_conv",
+                e.append((f"{stage}.{idx}.time_conv",
                           ("encoder", f"down_{i}_ds", "time_conv"),
                           "conv3d", None))
             idx += 1
@@ -970,21 +981,27 @@ def _wan_vae_entries(cfg):
     cin = ddims[0]
     for i in range(len(cfg.dim_mult)):
         cout = ddims[i + 1]
+        if nested:
+            stage = f"decoder.upsamples.{i}.upsamples"
+            idx = 0
+        else:
+            stage = "decoder.upsamples"
         for j in range(cfg.num_res_blocks + 1):
-            e += res(f"decoder.upsamples.{idx}",
+            e += res(f"{stage}.{idx}",
                      ("decoder", f"up_{i}_block_{j}"), cin, cout)
             cin = cout
             idx += 1
         if i != len(cfg.dim_mult) - 1:
             if temporal_up[i]:
-                e.append((f"decoder.upsamples.{idx}.time_conv",
+                e.append((f"{stage}.{idx}.time_conv",
                           ("decoder", f"up_{i}_us", "time_conv"),
                           "conv3d", None))
-            e.append((f"decoder.upsamples.{idx}.resample.1",
+            e.append((f"{stage}.{idx}.resample.1",
                       ("decoder", f"up_{i}_us", "resample", "conv"),
                       "conv2d3d", None))
             idx += 1
-            cin = cout // 2  # upsample conv halves the width
+            # Wan2.1's upsample conv halves the width; 2.2 keeps it
+            cin = cout if nested else cout // 2
     e += [("decoder.head.0", ("decoder", "head_norm"), "gamma4", None),
           ("decoder.head.2", ("decoder", "head_conv", "conv"), "conv3d", None)]
     return e

@@ -57,6 +57,12 @@ class WanVAEConfig:
     num_res_blocks: int = 2
     # one temporal flag per down/up stage (len(dim_mult)-1 resamples)
     temporal_downsample: Tuple[bool, ...] = (False, True, True)
+    # Wan2.2 VAE structure (wan/modules/vae2_2.py): pixel-unshuffle patch
+    # at input/output and per-stage parameter-free shortcuts (AvgDown3D on
+    # the way down, DupUp3D on the way up); upsample convs keep their width
+    # (2.1 halves).  Key layout nests an extra Down_/Up_ResidualBlock level.
+    patch: int = 1
+    stage_shortcuts: bool = False
     latents_mean: Optional[Tuple[float, ...]] = WAN21_LATENTS_MEAN
     latents_std: Optional[Tuple[float, ...]] = WAN21_LATENTS_STD
     dtype: jnp.dtype = jnp.bfloat16
@@ -66,9 +72,24 @@ WAN21_VAE_CONFIG = WanVAEConfig()
 # qwen_image_vae.safetensors is the same graph (Qwen-Image's latents use
 # its own normalization baked into the pipeline; keep identity here).
 QWEN_IMAGE_VAE_CONFIG = WanVAEConfig(latents_mean=None, latents_std=None)
+# Wan2.2 VAE (wan2.2_vae.safetensors — the TI2V-5B pairing, 48-ch latents,
+# 4x16x16 compression via patch-2 + three spatial stages).  Per-channel
+# normalization constants ship with the public release's model card and
+# are left to the caller here (structure recalled offline — see
+# docs/family_facts.md for exactly which facts are pinned vs recalled).
+WAN22_VAE_CONFIG = WanVAEConfig(
+    dim=160, z_channels=48, patch=2, stage_shortcuts=True,
+    temporal_downsample=(True, True, False),  # recalled; see family_facts.md
+    latents_mean=None, latents_std=None)
 TINY_WAN_VAE_CONFIG = WanVAEConfig(
     dim=8, z_channels=4, dim_mult=(1, 2), num_res_blocks=1,
     temporal_downsample=(True,), latents_mean=None, latents_std=None)
+# Three stages so every AvgDown3D group size divides (widening stages must
+# carry a resample factor, as in the real config's (1, 2, 4, 4)).
+TINY_WAN22_VAE_CONFIG = WanVAEConfig(
+    dim=8, z_channels=4, dim_mult=(1, 2, 2), num_res_blocks=1,
+    temporal_downsample=(True, False), patch=2, stage_shortcuts=True,
+    latents_mean=None, latents_std=None)
 
 
 class CausalConv3d(nn.Module):
@@ -182,11 +203,13 @@ class WanDownsample(nn.Module):
 class WanUpsample(nn.Module):
     """upsample2d / upsample3d: (3d) causal time conv doubling frames via
     2-way channel interleave (first interleaved frame dropped — the causal
-    pad artifact: 1+k -> 1+2k), then nearest 2x spatial conv halving
-    channels."""
+    pad artifact: 1+k -> 1+2k), then nearest 2x spatial conv.  The 2.1
+    graph halves the width here (`halve`); 2.2 keeps it (its stages narrow
+    inside the residual blocks instead)."""
 
     dim: int                      # input channel count
     temporal: bool
+    halve: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -201,8 +224,60 @@ class WanUpsample(nn.Module):
             h = jnp.transpose(h, (0, 1, 4, 2, 3, 5)).reshape(
                 b, 2 * t, hh, ww, self.dim)
             x = h[:, 1:]
-        return SpatialResample(self.dim // 2, down=False, dtype=self.dtype,
+        out = self.dim // 2 if self.halve else self.dim
+        return SpatialResample(out, down=False, dtype=self.dtype,
                                name="resample")(x)
+
+
+def _avg_down3d(x, out_ch: int, ft: int, fs: int):
+    """Wan2.2 AvgDown3D (parameter-free stage shortcut): front-pad T to a
+    multiple of ft, fold (ft, fs, fs) blocks into channels (C-major order,
+    matching the torch pixel-unshuffle), group-mean down to out_ch."""
+    b, t, hh, ww, c = x.shape
+    pad_t = (-t) % ft
+    if pad_t:
+        x = jnp.pad(x, ((0, 0), (pad_t, 0), (0, 0), (0, 0), (0, 0)))
+    t2 = x.shape[1]
+    x = x.reshape(b, t2 // ft, ft, hh // fs, fs, ww // fs, fs, c)
+    x = jnp.transpose(x, (0, 1, 3, 5, 7, 2, 4, 6))
+    x = x.reshape(b, t2 // ft, hh // fs, ww // fs, c * ft * fs * fs, 1)
+    x = x.reshape(b, t2 // ft, hh // fs, ww // fs, out_ch, -1)
+    return jnp.mean(x, axis=-1)
+
+
+def _dup_up3d(x, out_ch: int, ft: int, fs: int):
+    """Wan2.2 DupUp3D (parameter-free stage shortcut): channel
+    repeat-interleave then unfold to (ft, fs, fs) pixel blocks; the ft-1
+    causal lead frames are dropped (the full-sequence equivalent of the
+    torch streaming first_chunk trim)."""
+    b, t, hh, ww, c = x.shape
+    repeats = out_ch * ft * fs * fs // c
+    x = jnp.repeat(x, repeats, axis=-1)
+    x = x.reshape(b, t, hh, ww, out_ch, ft, fs, fs)
+    x = jnp.transpose(x, (0, 1, 5, 2, 6, 3, 7, 4))
+    x = x.reshape(b, t * ft, hh * fs, ww * fs, out_ch)
+    return x[:, ft - 1:] if ft > 1 else x
+
+
+def _patchify(x, p: int):
+    """(B,T,H,W,C) -> (B,T,H/p,W/p,C*p*p), channel order (c, r, q) with q
+    the H-subpixel and r the W-subpixel (the Wan2.2 rearrange)."""
+    if p == 1:
+        return x
+    b, t, hh, ww, c = x.shape
+    x = x.reshape(b, t, hh // p, p, ww // p, p, c)
+    x = jnp.transpose(x, (0, 1, 2, 4, 6, 5, 3))
+    return x.reshape(b, t, hh // p, ww // p, c * p * p)
+
+
+def _unpatchify(x, p: int):
+    if p == 1:
+        return x
+    b, t, hh, ww, cpp = x.shape
+    c = cpp // (p * p)
+    x = x.reshape(b, t, hh, ww, c, p, p)
+    x = jnp.transpose(x, (0, 1, 2, 6, 3, 5, 4))
+    return x.reshape(b, t, hh * p, ww * p, c)
 
 
 class WanVAEEncoder(nn.Module):
@@ -213,15 +288,22 @@ class WanVAEEncoder(nn.Module):
         """(B, T, H, W, 3) -> (B, T', H/8, W/8, 2z) moments."""
         cfg = self.cfg
         dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
+        x = _patchify(x, cfg.patch)
         h = CausalConv3d(dims[0], dtype=cfg.dtype, name="conv1")(x)
         for i in range(len(cfg.dim_mult)):
             out_dim = dims[i + 1]
+            down = i != len(cfg.dim_mult) - 1
+            h_in = h
             for j in range(cfg.num_res_blocks):
                 h = WanVAEResBlock(out_dim, dtype=cfg.dtype,
                                    name=f"down_{i}_block_{j}")(h)
-            if i != len(cfg.dim_mult) - 1:
+            if down:
                 h = WanDownsample(out_dim, cfg.temporal_downsample[i],
                                   dtype=cfg.dtype, name=f"down_{i}_ds")(h)
+            if cfg.stage_shortcuts:  # Wan2.2 Down_ResidualBlock avg path
+                ft = 2 if (down and cfg.temporal_downsample[i]) else 1
+                fs = 2 if down else 1
+                h = h + _avg_down3d(h_in, out_dim, ft, fs).astype(h.dtype)
         c = h.shape[-1]
         h = WanVAEResBlock(c, dtype=cfg.dtype, name="mid_block_1")(h)
         h = WanVAEAttnBlock(dtype=cfg.dtype, name="mid_attn")(h)
@@ -248,15 +330,22 @@ class WanVAEDecoder(nn.Module):
         h = WanVAEResBlock(c, dtype=cfg.dtype, name="mid_block_2")(h)
         for i in range(len(cfg.dim_mult)):
             out_dim = dims[i + 1]
+            up = i != len(cfg.dim_mult) - 1
+            h_in = h
             for j in range(cfg.num_res_blocks + 1):
                 h = WanVAEResBlock(out_dim, dtype=cfg.dtype,
                                    name=f"up_{i}_block_{j}")(h)
-            if i != len(cfg.dim_mult) - 1:
-                h = WanUpsample(out_dim, temporal_up[i], dtype=cfg.dtype,
-                                name=f"up_{i}_us")(h)
+            if up:
+                h = WanUpsample(out_dim, temporal_up[i],
+                                halve=not cfg.stage_shortcuts,
+                                dtype=cfg.dtype, name=f"up_{i}_us")(h)
+                if cfg.stage_shortcuts:  # Wan2.2 Up_ResidualBlock dup path
+                    ft = 2 if temporal_up[i] else 1
+                    h = h + _dup_up3d(h_in, out_dim, ft, 2).astype(h.dtype)
         h = RMSNorm3d(h.shape[-1], name="head_norm")(h)
-        return CausalConv3d(3, dtype=jnp.float32,
-                            name="head_conv")(nn.silu(h).astype(jnp.float32))
+        out = CausalConv3d(3 * cfg.patch * cfg.patch, dtype=jnp.float32,
+                           name="head_conv")(nn.silu(h).astype(jnp.float32))
+        return _unpatchify(out, cfg.patch)
 
 
 class WanVAE(nn.Module):

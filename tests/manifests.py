@@ -361,21 +361,26 @@ def wan_vae_manifest(cfg, prefix=""):
         conv2(k + ".to_qkv", 3 * c, c, 1)
         conv2(k + ".proj", c, c, 1)
 
+    nested = cfg.stage_shortcuts  # Wan2.2 vae2_2.py nested Sequential
     dims = [cfg.dim * u for u in (1,) + tuple(cfg.dim_mult)]
-    conv3(p + "encoder.conv1", dims[0], 3)
+    conv3(p + "encoder.conv1", dims[0], 3 * cfg.patch * cfg.patch)
     idx = 0
     cin = dims[0]
     for i in range(len(cfg.dim_mult)):
         cout = dims[i + 1]
+        if nested:
+            stage = f"{p}encoder.downsamples.{i}.downsamples"
+            idx = 0
+        else:
+            stage = f"{p}encoder.downsamples"
         for _ in range(cfg.num_res_blocks):
-            res(f"{p}encoder.downsamples.{idx}", cin, cout)
+            res(f"{stage}.{idx}", cin, cout)
             cin = cout
             idx += 1
         if i != len(cfg.dim_mult) - 1:
-            conv2(f"{p}encoder.downsamples.{idx}.resample.1", cout, cout)
+            conv2(f"{stage}.{idx}.resample.1", cout, cout)
             if cfg.temporal_downsample[i]:
-                conv3(f"{p}encoder.downsamples.{idx}.time_conv",
-                      cout, cout, 3, 1, 1)
+                conv3(f"{stage}.{idx}.time_conv", cout, cout, 3, 1, 1)
             idx += 1
     c = dims[-1]
     res(p + "encoder.middle.0", c, c)
@@ -397,19 +402,24 @@ def wan_vae_manifest(cfg, prefix=""):
     cin = ddims[0]
     for i in range(len(cfg.dim_mult)):
         cout = ddims[i + 1]
+        if nested:
+            stage = f"{p}decoder.upsamples.{i}.upsamples"
+            idx = 0
+        else:
+            stage = f"{p}decoder.upsamples"
         for _ in range(cfg.num_res_blocks + 1):
-            res(f"{p}decoder.upsamples.{idx}", cin, cout)
+            res(f"{stage}.{idx}", cin, cout)
             cin = cout
             idx += 1
         if i != len(cfg.dim_mult) - 1:
             if tuple(reversed(cfg.temporal_downsample))[i]:
-                conv3(f"{p}decoder.upsamples.{idx}.time_conv",
-                      2 * cout, cout, 3, 1, 1)
-            conv2(f"{p}decoder.upsamples.{idx}.resample.1", cout // 2, cout)
+                conv3(f"{stage}.{idx}.time_conv", 2 * cout, cout, 3, 1, 1)
+            up_out = cout if nested else cout // 2  # 2.2 keeps the width
+            conv2(f"{stage}.{idx}.resample.1", up_out, cout)
             idx += 1
-            cin = cout // 2
+            cin = up_out
     m[p + "decoder.head.0.gamma"] = (cin, 1, 1, 1)
-    conv3(p + "decoder.head.2", 3, cin)
+    conv3(p + "decoder.head.2", 3 * cfg.patch * cfg.patch, cin)
     return m
 
 

@@ -256,6 +256,44 @@ def test_wan_vae_import_export_roundtrip_tiny():
                                       np.asarray(flat_b[k]), err_msg=str(k))
 
 
+# -- Wan2.2 video VAE (vae2_2.py nested layout; recalled, see family_facts) --
+
+
+def test_wan22_vae_key_parity_full_scale():
+    from lanpaint_tpu.models.video_vae import WAN22_VAE_CONFIG
+
+    man = M.wan_vae_manifest(WAN22_VAE_CONFIG)
+    _key_parity(man, L._wan_vae_entries(WAN22_VAE_CONFIG), "")
+    # headline facts: patch-2 input (12ch), 48-ch latents, width-keeping
+    # upsample convs, nested Down_/Up_ResidualBlock indices
+    assert man["encoder.conv1.weight"] == (160, 12, 3, 3, 3)
+    assert man["encoder.head.2.weight"] == (96, 640, 3, 3, 3)
+    assert man["decoder.conv1.weight"] == (640, 48, 3, 3, 3)
+    assert man["decoder.upsamples.0.upsamples.3.resample.1.weight"] == \
+        (640, 640, 3, 3)
+    assert man["decoder.head.2.weight"] == (12, 160, 3, 3, 3)
+    assert "encoder.downsamples.0.downsamples.0.residual.0.gamma" in man
+
+
+def test_wan22_vae_shape_and_roundtrip_tiny():
+    import numpy as np
+
+    from lanpaint_tpu.models.video_vae import TINY_WAN22_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN22_VAE_CONFIG
+    module = WanVAE(cfg)
+    params = module.init(jax.random.PRNGKey(1), jnp.zeros((1, 3, 5, 32, 32)))
+    _shape_parity(M.wan_vae_manifest(cfg), L.export_wan_vae(params, cfg))
+    state = L.export_wan_vae(params, cfg)
+    back = L.import_wan_vae(state, cfg)
+    flat_a = L._tree_to_flat(params["params"])
+    flat_b = L._tree_to_flat(back["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+
 # -- Qwen-Image (diffusers layout) --------------------------------------------
 
 

@@ -149,6 +149,37 @@ def test_wan_vae_frame_law_and_shapes(key):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_wan22_vae_frame_law_and_shapes(key):
+    """Wan2.2 structure: patch-2 input, AvgDown3D/DupUp3D stage shortcuts,
+    width-keeping upsamples.  Tiny config: patch 2 + two spatial stages ->
+    8x spatial; one temporal stage -> 2x time."""
+    from lanpaint_tpu.models.video_vae import TINY_WAN22_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN22_VAE_CONFIG
+    module = WanVAE(cfg)
+    x = jax.random.normal(key, (1, 3, 5, 32, 32), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    z = module.apply(params, x, method="encode")
+    assert z.shape == (1, cfg.z_channels, 3, 4, 4)
+    out = module.apply(params, z, method="decode")
+    assert out.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_wan22_vae_image_case(key):
+    """T=1 degenerates cleanly through the 2.2 shortcut paths too."""
+    from lanpaint_tpu.models.video_vae import TINY_WAN22_VAE_CONFIG, WanVAE
+
+    cfg = TINY_WAN22_VAE_CONFIG
+    module = WanVAE(cfg)
+    x = jax.random.normal(key, (1, 3, 1, 32, 32), jnp.float32)
+    params = module.init(jax.random.PRNGKey(0), x)
+    z = module.apply(params, x, method="encode")
+    assert z.shape == (1, cfg.z_channels, 1, 4, 4)
+    out = module.apply(params, z, method="decode")
+    assert out.shape == x.shape
+
+
 def test_wan_vae_image_case(key):
     """T=1 (image) path: the causal graph degenerates to a 2D autoencoder —
     the Qwen-Image / Krea2 / Anima / Wan-T2I usage."""
@@ -213,6 +244,35 @@ def test_inpaint_video_pixel_pipeline(key):
         positive=cond, seed=0, steps=3, cfg=1.0, num_steps=1,
         blend_overlap=5)
     assert out.shape == video.shape
+
+
+def test_inpaint_video_pixel_pipeline_wan22_vae(key):
+    """Same pixel-level path with the Wan2.2 (TI2V-5B) VAE — different
+    latent geometry (patch-2 stages), same inpaint_video contract."""
+    import dataclasses
+
+    from lanpaint_tpu import inpaint_video
+    from lanpaint_tpu.models.video_vae import TINY_WAN22_VAE_CONFIG, WanVAE
+    from lanpaint_tpu.models.wan import TINY_WAN_CONFIG
+    from lanpaint_tpu.models.zoo import build_wan
+
+    vae_cfg = TINY_WAN22_VAE_CONFIG
+    vae = WanVAE(vae_cfg)
+    video = jnp.tanh(jax.random.normal(key, (1, 3, 5, 32, 32), jnp.float32))
+    vae_params = vae.init(jax.random.PRNGKey(0), video)
+    wan_cfg = dataclasses.replace(TINY_WAN_CONFIG,
+                                  in_channels=vae_cfg.z_channels,
+                                  out_channels=vae_cfg.z_channels)
+    den, _ = build_wan(wan_cfg, name="tiny-wan22-vae")
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    cond = {"context": jnp.zeros((1, 8, wan_cfg.context_dim), jnp.float32)}
+    out = inpaint_video(
+        den, vae, vae_params, video=video, mask=jnp.asarray(mask),
+        positive=cond, seed=0, steps=3, cfg=1.0, num_steps=1,
+        blend_overlap=5)
+    assert out.shape == video.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
     assert bool(jnp.all(jnp.isfinite(out)))
     # far outside the (dilated+feathered) mask the original pixels survive
     np.testing.assert_allclose(np.asarray(out)[..., :2, :2],
