@@ -22,6 +22,9 @@ Try it (smoke):
     out = _decode_array(json.loads(conn.getresponse().read())["image"])
     print(out.shape)
     PY
+
+Or open http://127.0.0.1:8776/ in a browser: the built-in web UI
+(lanpaint_tpu/webui.py) paints masks on a canvas and drives the same API.
 """
 
 import numpy as np

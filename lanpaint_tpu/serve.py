@@ -343,6 +343,8 @@ def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
                      port: int = 8776, request_timeout_s: float = 600.0):
     """HTTP front end (stdlib-only).  Endpoints:
 
+    GET  /         browser front end (webui.INDEX_HTML: mask painting +
+                   every Variant field as a form control)
     POST /inpaint  {"prompt": ..., "image": {shape,dtype,data_b64},
                     "mask": {...}, "seed": int, "variant": {...}}
                    -> {"image": {shape,dtype,data_b64}}
@@ -371,6 +373,15 @@ def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
                 self._json(200, server.stats.snapshot())
+            elif self.path in ("/", "/index.html"):
+                from . import webui
+
+                body = webui.INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

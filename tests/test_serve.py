@@ -119,6 +119,53 @@ def test_http_roundtrip():
         srv.close()
 
 
+def test_web_ui_served_at_root():
+    """GET / serves the browser front end; every Variant field is a form
+    control (the web layer is the L5 analog of the reference's node UI)."""
+    import dataclasses
+
+    from lanpaint_tpu.serve import Variant
+
+    srv = InpaintServer(lambda batch: [r.image for r in batch],
+                        batch_size=1, max_delay_s=0.01)
+    httpd = make_http_server(srv, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/html")
+        html = resp.read().decode()
+        assert "LanPaint TPU" in html
+        # all Variant fields are editable except height/width (derived
+        # from the canvas, but still present as inputs)
+        for f in dataclasses.fields(Variant):
+            assert f'id="{f.name}"' in html, f.name
+        # the page talks the same wire format as the JSON API
+        assert "/inpaint" in html and "/stats" in html
+        assert "data_b64" in html
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_web_ui_lists_real_samplers_and_schedulers():
+    """The UI's dropdowns stay in sync with the actual registries."""
+    from lanpaint_tpu import webui
+    from lanpaint_tpu.samplers import _SOLVERS
+    from lanpaint_tpu.sigmas import SCHEDULERS
+
+    for s in webui.SAMPLERS:
+        assert s in _SOLVERS or s == "dpm_fast", s
+        assert f'value="{s}"' in webui.INDEX_HTML
+    for s in webui.SCHEDULERS:
+        assert s in SCHEDULERS, s
+        assert f'value="{s}"' in webui.INDEX_HTML
+
+
 def test_pipeline_runner_stacks_and_pads():
     """pipeline_runner contract with a fake pipeline: per-lane prompts
     stacked into batched conds, lane-0 padding sliced off."""
