@@ -1,15 +1,62 @@
 """Wan2.2 video inpainting with the high/low-noise expert pair
 (reference example_workflows/video_Inpaint.json and README.md:205-268:
-t2v 14B fp8_scaled, 2 think-steps, partial-frame masks)."""
+t2v 14B fp8_scaled, 2 think-steps, partial-frame masks).
 
+--pixel runs the full pixel-level path instead (Wan2.2 48-ch VAE encode ->
+LanPaint -> decode -> per-frame MaskBlend), the TI2V-5B-style deployment;
+pass --vae wan2.2_vae.safetensors with a real checkpoint."""
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from common import example_argparser, report
-from lanpaint_tpu import ksampler
+from lanpaint_tpu import inpaint_video, ksampler
 from lanpaint_tpu.models.load import import_wan, load_safetensors
 from lanpaint_tpu.models.wan import TINY_WAN_CONFIG, WAN22_T2V_14B_CONFIG
 from lanpaint_tpu.models.zoo import build_tiny_wan, build_wan, switching_denoiser
+
+
+def run_pixel(args):
+    """Pixel video -> Wan2.2 VAE latents -> LanPaint -> pixels."""
+    import dataclasses
+
+    from lanpaint_tpu.models.load import import_wan_vae
+    from lanpaint_tpu.models.video_vae import (
+        TINY_WAN22_VAE_CONFIG, WAN22_VAE_CONFIG, WanVAE,
+    )
+
+    if getattr(args, "vae", None):
+        vae_cfg = WAN22_VAE_CONFIG
+        vae = WanVAE(vae_cfg)
+        vae_params = import_wan_vae(load_safetensors(args.vae), vae_cfg)
+        den, _ = build_wan(WAN22_T2V_14B_CONFIG,
+                           import_wan(load_safetensors(args.checkpoint),
+                                      WAN22_T2V_14B_CONFIG),
+                           shift=5.0, name="wan22-pixel")
+        t, hw = 1 + 4 * ((args.frames - 1) // 4), 256
+    else:
+        vae_cfg = TINY_WAN22_VAE_CONFIG
+        vae = WanVAE(vae_cfg)
+        video0 = jnp.zeros((1, 3, 5, 32, 32), jnp.float32)
+        vae_params = vae.init(jax.random.PRNGKey(0), video0)
+        wan_cfg = dataclasses.replace(TINY_WAN_CONFIG,
+                                      in_channels=vae_cfg.z_channels,
+                                      out_channels=vae_cfg.z_channels)
+        den, _ = build_wan(wan_cfg, name="wan22-pixel-tiny")
+        t, hw = 5, 32
+    video = jnp.tanh(jax.random.normal(jax.random.PRNGKey(1),
+                                       (1, 3, t, hw, hw), jnp.float32))
+    mask = np.zeros((hw, hw), np.float32)
+    mask[hw // 4: 3 * hw // 4, hw // 4: 3 * hw // 4] = 1.0
+    ctx_d = (4096 if getattr(args, "vae", None)
+             else TINY_WAN_CONFIG.context_dim)
+    cond = {"context": jnp.zeros((1, 8, ctx_d), jnp.float32)}
+    out = inpaint_video(
+        den, vae, vae_params, video=video, mask=jnp.asarray(mask),
+        positive=cond, seed=args.seed, steps=args.steps, cfg=1.0,
+        num_steps=2, blend_overlap=5)
+    report("wan22_video_inpaint_pixel", out)
 
 
 def main():
@@ -17,7 +64,15 @@ def main():
     p.add_argument("--checkpoint-low", default=None,
                    help="low-noise expert (fp8_scaled safetensors)")
     p.add_argument("--frames", type=int, default=4)
+    p.add_argument("--pixel", action="store_true",
+                   help="pixel-level path through the Wan2.2 VAE")
+    p.add_argument("--vae", default=None,
+                   help="wan2.2_vae.safetensors (with --pixel + --checkpoint)")
     args = p.parse_args()
+
+    if args.pixel:
+        run_pixel(args)
+        return
 
     if args.checkpoint:
         cfgm = WAN22_T2V_14B_CONFIG

@@ -1,0 +1,176 @@
+"""Command-line interface: `python -m lanpaint_tpu <command>`.
+
+The reference is driven through ComfyUI's graph editor; a standalone
+framework needs a shell-level surface (SURVEY.md §7 B6 "a small CLI").
+Three commands:
+
+  inpaint   single-file checkpoint + image + mask -> inpainted image
+            (the LanPaint_KSampler node's parameter surface as flags)
+  serve     stand up the micro-batching HTTP server + web UI on a
+            checkpoint (lanpaint_tpu/serve.py, webui.py)
+  info      print device/platform/config diagnostics
+
+Image I/O is PIL (already a transformers dependency); arrays move in
+pixel space [-1, 1] exactly as `LanPaintPipeline` expects.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _load_image(path: str, size=None):
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    if size is not None:
+        img = img.resize(size, Image.LANCZOS)
+    arr = np.asarray(img, np.float32) / 127.5 - 1.0      # (H, W, 3)
+    return arr.transpose(2, 0, 1)[None]                  # (1, 3, H, W)
+
+
+def _load_mask(path: str, size=None):
+    import numpy as np
+    from PIL import Image
+
+    m = Image.open(path).convert("L")
+    if size is not None:
+        m = m.resize(size, Image.NEAREST)
+    return (np.asarray(m, np.float32) > 127.0).astype(np.float32)
+
+
+def _save_image(path: str, arr):
+    import numpy as np
+    from PIL import Image
+
+    a = np.asarray(arr)[0].transpose(1, 2, 0)            # (H, W, 3)
+    a = np.clip(np.rint((a + 1.0) * 127.5), 0, 255).astype(np.uint8)
+    Image.fromarray(a).save(path)
+
+
+def _add_sampler_flags(p: argparse.ArgumentParser):
+    """The LanPaint_KSampler node surface (reference nodes.py:298-349)."""
+    p.add_argument("--prompt", default="")
+    p.add_argument("--negative-prompt", default="")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--cfg", type=float, default=5.0)
+    p.add_argument("--sampler", default="euler")
+    p.add_argument("--scheduler", default="karras")
+    p.add_argument("--think-steps", type=int, default=5,
+                   help="LanPaint NumSteps (inner Langevin iterations)")
+    p.add_argument("--prompt-mode", default="Image First",
+                   choices=["Image First", "Prompt First"])
+    p.add_argument("--blend-overlap", type=int, default=9,
+                   help="MaskBlend dilate+feather width (0 = off)")
+    p.add_argument("--chunk-steps", type=int, default=0,
+                   help="split the sampling loop into chunked launches "
+                        "(0 = one launch)")
+    p.add_argument("--sequential-cfg", action="store_true",
+                   help="run cond/uncond as separate forwards "
+                        "(faster + half the memory at video/1024px scale)")
+
+
+def _build_pipeline(args):
+    from .pipeline import LanPaintPipeline
+
+    return LanPaintPipeline.from_single_file(
+        args.checkpoint, vocab=args.vocab, merges=args.merges,
+        height=args.height, width=args.width)
+
+
+def cmd_inpaint(args) -> int:
+    pipe = _build_pipeline(args)
+    image = _load_image(args.image, (args.width, args.height))
+    mask = _load_mask(args.mask, (args.width, args.height))
+    out = pipe(
+        args.prompt, image=image, mask=mask,
+        negative_prompt=args.negative_prompt, seed=args.seed,
+        steps=args.steps, cfg=args.cfg, num_steps=args.think_steps,
+        sampler_name=args.sampler, scheduler=args.scheduler,
+        blend_overlap=args.blend_overlap, prompt_mode=args.prompt_mode,
+        chunk_steps=args.chunk_steps or None,
+        sequential_cfg=args.sequential_cfg)
+    _save_image(args.output, out)
+    print(args.output)
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .serve import (
+        InpaintServer, make_http_server, pipeline_runner, pipeline_validator,
+    )
+
+    pipe = _build_pipeline(args)
+    srv = InpaintServer(
+        pipeline_runner(pipe, batch_size=args.batch_size),
+        batch_size=args.batch_size, max_delay_s=args.max_delay_s,
+        validator=pipeline_validator(args.batch_size))
+    httpd = make_http_server(srv, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]}/ "
+          f"(web UI at /, JSON API at /inpaint)", flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.shutdown()
+        srv.close()
+    return 0
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    from .config import LanPaintConfig
+
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {[str(d) for d in jax.devices()]}")
+    print(f"device_count: {jax.device_count()}")
+    print(f"default config: {LanPaintConfig()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="python -m lanpaint_tpu",
+        description="LanPaint-TPU: training-free inpainting on TPU")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("inpaint", help="inpaint one image")
+    p.add_argument("--checkpoint", required=True,
+                   help="single-file SD1.x/SDXL safetensors")
+    p.add_argument("--vocab", required=True, help="CLIP vocab.json")
+    p.add_argument("--merges", required=True, help="CLIP merges.txt")
+    p.add_argument("--image", required=True)
+    p.add_argument("--mask", required=True,
+                   help="grayscale mask image; >50%% = repaint")
+    p.add_argument("--output", default="inpainted.png")
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    _add_sampler_flags(p)
+    p.set_defaults(fn=cmd_inpaint)
+
+    p = sub.add_parser("serve", help="HTTP server + web UI on a checkpoint")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--merges", required=True)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8776)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--max-delay-s", type=float, default=0.25)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("info", help="device / config diagnostics")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

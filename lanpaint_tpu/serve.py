@@ -238,6 +238,18 @@ class InpaintServer:
 
 
 # ---------------------------------------------------------------- runners
+def _as_chw(img):
+    """Accept (3, H, W) or (H, W, 3) pixel images; return (3, H, W).
+
+    The JSON API's canonical layout is channels-first, but browser canvases
+    (webui.py) and most image libraries hand out HWC — normalize here so
+    one wire format serves both.  3x3x3 ambiguity resolves to CHW (the
+    documented contract)."""
+    if img.ndim == 3 and img.shape[-1] == 3 and img.shape[0] != 3:
+        return img.transpose(2, 0, 1)
+    return img
+
+
 def pipeline_validator(batch_size: int = 4):
     """Submit-time request validation for pipeline_runner: shape mismatches
     must fail the ONE offending request, never its co-batched lanes."""
@@ -245,7 +257,7 @@ def pipeline_validator(batch_size: int = 4):
 
     def validate(req: Request):
         v = req.variant
-        img = np.asarray(req.image)
+        img = _as_chw(np.asarray(req.image))
         if img.shape != (3, v.height, v.width):
             raise ValueError(
                 f"image shape {img.shape} does not match variant "
@@ -292,7 +304,8 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
                 "pipeline_runner")
         pad = batch_size - n
         lanes = batch + [batch[0]] * pad
-        images = np.stack([np.asarray(r.image, np.float32) for r in lanes])
+        images = np.stack([_as_chw(np.asarray(r.image, np.float32))
+                           for r in lanes])
         masks = np.stack([np.asarray(r.mask, np.float32) for r in lanes])
         pos = [pipeline.encode(r.prompt) for r in batch]
         neg = [pipeline.encode(r.negative_prompt) for r in batch]
@@ -401,6 +414,15 @@ def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
                     variant=Variant(**payload.get("variant", {})),
                 )
                 out = server.submit(req).result(timeout=request_timeout_s)
+                import numpy as np
+
+                out = np.asarray(out)
+                img_in = np.asarray(req.image)
+                # reply in the caller's layout: HWC request -> HWC response
+                if (img_in.ndim == 3 and img_in.shape[-1] == 3
+                        and img_in.shape[0] != 3 and out.ndim == 3
+                        and out.shape[0] == 3):
+                    out = out.transpose(1, 2, 0)
                 self._json(200, {"image": _encode_array(out)})
             except Exception as e:  # noqa: BLE001 — surface as 500
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

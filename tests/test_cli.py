@@ -1,0 +1,94 @@
+"""CLI surface (`python -m lanpaint_tpu`): arg plumbing + image I/O.
+
+The inpaint command is driven against the tiny single-file pipeline from
+test_pipeline (monkeypatched builder — the CLI defaults to full-size
+configs, which CI cannot compile) so the test exercises everything except
+checkpoint auto-detection: flag parsing, PIL load/save, pixel-space
+conventions, and the pipeline call contract.
+"""
+
+import numpy as np
+import pytest
+
+import lanpaint_tpu.__main__ as cli
+
+
+def test_info_command(capsys):
+    assert cli.main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "devices:" in out and "default config:" in out
+
+
+def test_image_io_roundtrip(tmp_path):
+    from PIL import Image
+
+    rgb = np.random.default_rng(0).integers(0, 256, (16, 16, 3), np.uint8)
+    p = tmp_path / "in.png"
+    Image.fromarray(rgb).save(p)
+    arr = cli._load_image(str(p))
+    assert arr.shape == (1, 3, 16, 16)
+    assert arr.min() >= -1.0 and arr.max() <= 1.0
+    q = tmp_path / "out.png"
+    cli._save_image(str(q), arr)
+    back = np.asarray(Image.open(q))
+    np.testing.assert_array_equal(back, rgb)
+
+
+def test_mask_io_binarizes(tmp_path):
+    from PIL import Image
+
+    g = np.zeros((8, 8), np.uint8)
+    g[2:6, 2:6] = 200
+    g[0, 0] = 100  # below the 50% threshold
+    p = tmp_path / "m.png"
+    Image.fromarray(g, "L").save(p)
+    m = cli._load_mask(str(p))
+    assert m.shape == (8, 8)
+    assert m[3, 3] == 1.0 and m[0, 0] == 0.0 and m[7, 7] == 0.0
+
+
+@pytest.fixture()
+def tiny_pipeline(tmp_path):
+    from lanpaint_tpu.models.textenc import CLIPTextConfig
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG
+    from lanpaint_tpu.models.vae import TINY_VAE_CONFIG
+    from lanpaint_tpu.pipeline import LanPaintPipeline
+
+    from test_pipeline import _clip_vocab_files, _single_file_state
+
+    cfg = CLIPTextConfig(vocab_size=2 * 256 + 2, width=32, layers=2,
+                         heads=2, intermediate=64, projection_dim=0,
+                         eos_token_id=2 * 256 + 1)
+    vp, mp, _ = _clip_vocab_files(tmp_path)
+    state = _single_file_state(cfg)
+    return LanPaintPipeline.from_single_file(
+        "<in-memory>", state=state, vocab=vp, merges=mp,
+        unet_config=TINY_UNET_CONFIG, clip_l_config=cfg,
+        vae_config=TINY_VAE_CONFIG, height=32, width=32)
+
+
+def test_inpaint_command_end_to_end(tmp_path, monkeypatch, tiny_pipeline):
+    from PIL import Image
+
+    monkeypatch.setattr(cli, "_build_pipeline", lambda args: tiny_pipeline)
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 256, (32, 32, 3), np.uint8)).save(
+        tmp_path / "in.png")
+    m = np.zeros((32, 32), np.uint8)
+    m[8:24, 8:24] = 255
+    Image.fromarray(m, "L").save(tmp_path / "mask.png")
+    out_path = tmp_path / "out.png"
+    rc = cli.main([
+        "inpaint", "--checkpoint", "unused", "--vocab", "unused",
+        "--merges", "unused", "--image", str(tmp_path / "in.png"),
+        "--mask", str(tmp_path / "mask.png"), "--output", str(out_path),
+        "--height", "32", "--width", "32", "--steps", "3",
+        "--think-steps", "1", "--prompt", "a cat", "--blend-overlap", "3",
+    ])
+    assert rc == 0
+    out = np.asarray(Image.open(out_path))
+    assert out.shape == (32, 32, 3)
+    # blend preserves pixels far outside the mask (PNG quantization only)
+    inp = np.asarray(Image.open(tmp_path / "in.png"))
+    np.testing.assert_allclose(out[:2].astype(int), inp[:2].astype(int),
+                               atol=1)

@@ -119,6 +119,55 @@ def test_http_roundtrip():
         srv.close()
 
 
+def test_http_hwc_layout_mirrored():
+    """An HWC (browser-canvas) request gets an HWC response; the runner
+    still sees the canonical CHW layout via _as_chw."""
+    from lanpaint_tpu.serve import _as_chw
+
+    seen = []
+
+    def run(batch):
+        for r in batch:
+            seen.append(np.asarray(r.image).shape)
+        return [_as_chw(np.asarray(r.image, np.float32)) * 2.0
+                for r in batch]
+
+    srv = InpaintServer(run, batch_size=1, max_delay_s=0.01)
+    httpd = make_http_server(srv, port=0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        img_hwc = np.arange(24, dtype=np.float32).reshape(4, 2, 3)
+        payload = {"image": _encode_array(img_hwc),
+                   "mask": _encode_array(np.ones((4, 2), np.float32)),
+                   "variant": {"steps": 2}}
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/inpaint", json.dumps(payload),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = _decode_array(json.loads(resp.read())["image"])
+        assert out.shape == (4, 2, 3)  # mirrored back to HWC
+        np.testing.assert_array_equal(out, img_hwc * 2.0)
+    finally:
+        httpd.shutdown()
+        srv.close()
+
+
+def test_validator_accepts_hwc():
+    from lanpaint_tpu.serve import pipeline_validator
+
+    v = Variant(height=8, width=6)
+    req = Request(image=np.zeros((8, 6, 3), np.float32),
+                  mask=np.zeros((8, 6), np.float32), variant=v)
+    pipeline_validator(batch_size=1)(req)  # no raise
+    bad = Request(image=np.zeros((6, 8, 3), np.float32),
+                  mask=np.zeros((8, 6), np.float32), variant=v)
+    with pytest.raises(ValueError):
+        pipeline_validator(batch_size=1)(bad)
+
+
 def test_web_ui_served_at_root():
     """GET / serves the browser front end; every Variant field is a form
     control (the web layer is the L5 analog of the reference's node UI)."""
