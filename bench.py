@@ -148,7 +148,38 @@ def _tpu_selftest() -> str:
         return f"error: {e}"
 
 
+def _probe_device(timeout_s: float = 600.0) -> None:
+    """Fail fast (clear JSON on stdout, rc=1) if the TPU tunnel is dead.
+
+    jax.devices() through the axon relay blocks forever when nothing is
+    listening on the loopback relay port; a bench that hangs silently is
+    worse than one that reports the outage."""
+    import threading
+
+    done = threading.Event()
+    err: list = []
+
+    def probe():
+        try:
+            jax.devices()
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            err.append(e)
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    if not done.wait(timeout_s) or err:
+        reason = (f"device discovery raised: {err[0]}" if err else
+                  f"device discovery hung > {timeout_s:.0f}s (relay down?)")
+        print(json.dumps({
+            "metric": "sdxl1024_inpaint_20x5think_wallclock",
+            "value": None, "unit": "seconds", "vs_baseline": None,
+            "error": f"TPU unreachable: {reason}",
+        }))
+        sys.exit(1)
+
+
 def main():
+    _probe_device()
     secs = _time_path(fused=False)
     result = {
         "metric": "sdxl1024_inpaint_20x5think_wallclock",

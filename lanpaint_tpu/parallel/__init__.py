@@ -1,5 +1,6 @@
 from .mesh import (  # noqa: F401
     MeshSpec,
+    hidream_ep_rules,
     make_mesh,
     shard_batch,
     shard_params_replicated,

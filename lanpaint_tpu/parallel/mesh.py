@@ -14,6 +14,18 @@ Axes:
   81-frame): shards the flattened token axis of DiT attention.
 * "tensor"— reserved for tensor-parallel model weights (model-side sharding
   hooks live in lanpaint_tpu.models).
+* "expert"— expert parallelism for the HiDream MoE: the dense-compute expert
+  stack (models/hidream.py MoEFeedForward) carries the expert count as a
+  weight axis, so EP is pure GSPMD — shard that axis and XLA turns the final
+  gate contraction into a psum over "expert".  No token dispatch, no
+  all-to-all.
+
+Pipeline parallelism is deliberately absent: this is a latency-bound
+batch-1/2 inference engine, where a P-stage pipeline with M resident
+microbatches idles (P-1)/(P-1+M) of each step — 87% at P=8, M=1.  TP/EP
+split the same weights with zero bubble, and FSDP-style layer-axis weight
+sharding (the scanned block stack's depth axis) covers the fits-in-HBM
+problem TP doesn't.
 """
 
 from __future__ import annotations
@@ -31,14 +43,16 @@ class MeshSpec:
     data: int = 1
     seq: int = 1
     tensor: int = 1
+    expert: int = 1
 
     @property
     def total(self) -> int:
-        return self.data * self.seq * self.tensor
+        return self.data * self.seq * self.tensor * self.expert
 
 
 def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """Build a (data, seq, tensor) mesh.  Defaults to all devices on "data"."""
+    """Build a (data, seq, tensor, expert) mesh.  Defaults to all devices on
+    "data"."""
     if devices is None:
         devices = jax.devices()
     if spec is None:
@@ -47,8 +61,9 @@ def make_mesh(spec: Optional[MeshSpec] = None, devices: Optional[Sequence] = Non
         raise ValueError(
             f"mesh spec {spec} needs {spec.total} devices, got {len(devices)}"
         )
-    arr = np.asarray(devices).reshape(spec.data, spec.seq, spec.tensor)
-    return Mesh(arr, ("data", "seq", "tensor"))
+    arr = np.asarray(devices).reshape(spec.data, spec.seq, spec.tensor,
+                                      spec.expert)
+    return Mesh(arr, ("data", "seq", "tensor", "expert"))
 
 
 def shard_batch(mesh: Mesh, x, batch_axis: int = 0):
@@ -91,10 +106,30 @@ def tp_param_shardings(mesh: Mesh, params, rules):
         )
         for pred, spec in rules:
             if pred(name):
-                return NamedSharding(mesh, spec)
+                return NamedSharding(mesh, _divisible_spec(mesh, spec, p))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def _divisible_spec(mesh: Mesh, spec, p) -> P:
+    """Drop sharded axes from dims they don't divide (device_put, unlike
+    GSPMD-in-jit, cannot pad) — e.g. a depth-2 scanned stack under
+    layer_shard_rules on a data=4 mesh stays replicated on dim 0."""
+    shape = getattr(p, "shape", None)
+    if shape is None or len(spec) == 0:
+        return spec
+    out = []
+    for dim, axis in enumerate(tuple(spec) + (None,) * (len(shape) - len(spec))):
+        if axis is None:
+            out.append(None)
+            continue
+        names = (axis,) if isinstance(axis, str) else tuple(axis)
+        div = 1
+        for a in names:
+            div *= mesh.shape[a]
+        out.append(axis if shape[dim] % div == 0 else None)
+    return P(*out)
 
 
 def shard_params_tp(mesh: Mesh, params, rules):
@@ -133,7 +168,10 @@ def tp_plan_bytes(params_shapes, rules, axis_sizes: dict,
                     div = 1
                     for a in names:
                         div *= axis_sizes.get(a, 1)
-                    shape[dim] = -(-shape[dim] // div)
+                    # non-divisible dims stay replicated (matches
+                    # shard_params_tp's _divisible_spec placement rule)
+                    if shape[dim] % div == 0:
+                        shape[dim] = shape[dim] // div
                 break
         n = 1
         for s in shape:
@@ -192,6 +230,62 @@ def sd3_tp_rules():
                                           or "mlp_fc1/kernel" in n), col2),
         (lambda n: "joint_last" in n and ("attn_proj/kernel" in n
                                           or "mlp_fc2/kernel" in n), row2),
+    ]
+
+
+def layer_shard_rules(rules, pred=None, axis: str = "data"):
+    """FSDP-style layer-axis weight sharding, composed with TP rules.
+
+    Scanned block stacks (nn.scan) carry depth as weight axis 0; sharding it
+    over `axis` divides resident parameter bytes by that axis size — XLA
+    all-gathers each layer's slice just-in-time inside the scan.  This is
+    the fits-in-HBM lever orthogonal to TP (which splits within a layer):
+    at {data: D, tensor: T} a scanned stack is D*T-way split.  `pred` picks
+    the scanned leaves (default: path contains "/block/"); TP specs keep
+    their within-layer axes, gaining `axis` on dim 0; scanned leaves with no
+    TP rule get dim 0 alone; unscanned leaves fall through to `rules`.
+    """
+    if pred is None:
+        pred = lambda n: "/block/" in n  # noqa: E731
+
+    def stacked(spec):
+        if len(spec) == 0 or spec[0] is not None:
+            return spec  # dim 0 already taken (not a depth-stacked spec)
+        return P(axis, *spec[1:])
+
+    out = [(lambda n, p=p: p(n) and pred(n), stacked(spec))
+           for p, spec in rules]
+    out.append((pred, P(axis)))
+    out.extend(rules)
+    return out
+
+
+def hidream_ep_rules():
+    """EP x TP rules for the HiDream MoE-MMDiT (models/hidream.py).
+
+    The MoE is evaluated densely — routed experts stacked as weight axis 1
+    (axis 0 is scan depth): w1/w3 (L, E, h, inner), w2 (L, E, inner, h).
+    Sharding E over "expert" and the SwiGLU inner width over "tensor" makes
+    XLA compute each device's expert slice locally and psum over "expert" at
+    the gate contraction (einsum "bseh,bse->bsh") and over "tensor" at w2 —
+    expert parallelism with zero dispatch/all-to-all, the TPU-native dual of
+    token-routing EP.  Dense (non-MoE) projections get standard Megatron TP:
+    column-shard qkv / ffn-in, row-shard the output projections.  Router
+    gates, norms, and modulations stay replicated (tiny).
+    """
+    moe_in = P(None, "expert", None, "tensor")    # experts_w1 / experts_w3
+    moe_out = P(None, "expert", "tensor", None)   # experts_w2
+    col = P(None, None, "tensor")
+    row = P(None, "tensor", None)
+    return [
+        (lambda n: "experts_w1" in n or "experts_w3" in n, moe_in),
+        (lambda n: "experts_w2" in n, moe_out),
+        # shared expert + carried-txt SwiGLU (w1/w3 in, w2 out)
+        (lambda n: ("/w1/kernel" in n or "/w3/kernel" in n), col),
+        (lambda n: "/w2/kernel" in n, row),
+        # joint / single attention
+        (lambda n: any(f"attn_{w}/kernel" in n for w in "qkv"), col),
+        (lambda n: "attn_proj/kernel" in n, row),
     ]
 
 

@@ -22,9 +22,11 @@ def _toy():
 
 def test_mesh_creation():
     mesh = make_mesh(MeshSpec(data=8))
-    assert mesh.shape == {"data": 8, "seq": 1, "tensor": 1}
+    assert mesh.shape == {"data": 8, "seq": 1, "tensor": 1, "expert": 1}
     mesh2 = make_mesh(MeshSpec(data=2, seq=4))
     assert mesh2.shape["seq"] == 4
+    mesh3 = make_mesh(MeshSpec(data=2, tensor=2, expert=2))
+    assert mesh3.shape["expert"] == 2
 
 
 def test_mesh_wrong_size_raises():
@@ -104,6 +106,74 @@ def test_tensor_parallel_wan_matches_replicated():
     params_tp = shard_params_tp(mesh, params, wan_tp_rules())
     with mesh:
         got = jax.jit(den.raw_apply)(params_tp, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_expert_parallel_hidream_matches_replicated():
+    """EP x TP-sharded HiDream MoE weights (expert axis over "expert",
+    SwiGLU inner width over "tensor") must match the replicated forward —
+    XLA psums over "expert" at the gate contraction, no token dispatch."""
+    import dataclasses
+
+    from lanpaint_tpu.models.hidream import TINY_HIDREAM_CONFIG
+    from lanpaint_tpu.models.zoo import build_hidream
+    from lanpaint_tpu.parallel.mesh import hidream_ep_rules, shard_params_tp
+
+    mesh = make_mesh(MeshSpec(data=2, tensor=2, expert=2))
+    cfg = dataclasses.replace(TINY_HIDREAM_CONFIG, dtype=jnp.float32)
+    den, params = build_hidream(cfg, name="tiny-hidream-f32")
+    x = jnp.linspace(-1, 1, 2 * 4 * 16 * 16, dtype=jnp.float32
+                     ).reshape(2, 4, 16, 16)
+    cond = {"context": jnp.full((2, 8, 32), 0.1, jnp.float32),
+            "vec": jnp.full((2, 16), 0.2, jnp.float32),
+            "llama": jnp.full((2, 2, 4, 24), 0.3, jnp.float32)}
+    t = jnp.full((2,), 0.6, jnp.float32)
+
+    want = den.raw_apply(params, x, t, cond)
+
+    params_ep = shard_params_tp(mesh, params, hidream_ep_rules())
+    # the expert axis is really sharded (scanned moe w1: L, E, h, inner)
+    moe_w1 = params_ep["params"]["single"]["block"]["moe"]["experts_w1"]
+    assert {s.device.id for s in moe_w1.addressable_shards} != {0}
+    assert moe_w1.addressable_shards[0].data.shape[1] == 2  # E=4 over 2
+
+    with mesh:
+        got = jax.jit(den.raw_apply)(params_ep, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fsdp_layer_sharding_wan_matches_and_shrinks():
+    """layer_shard_rules composes FSDP-style depth-axis sharding with TP:
+    per-device plan bytes drop by ~data*tensor for the scanned stack, and
+    the forward still matches (XLA gathers each layer just-in-time)."""
+    from lanpaint_tpu.models.zoo import build_tiny_wan
+    from lanpaint_tpu.parallel.mesh import (
+        layer_shard_rules, shard_params_tp, tp_plan_bytes, wan_tp_rules,
+    )
+
+    den, params = build_tiny_wan()
+    shapes = jax.eval_shape(lambda: params)
+    tp_only = tp_plan_bytes(shapes, wan_tp_rules(), {"tensor": 4})
+    fsdp = layer_shard_rules(wan_tp_rules())
+    both = tp_plan_bytes(shapes, fsdp, {"tensor": 4, "data": 2})
+    # tiny config: depth-2 stack over data=2 halves the scanned bytes; the
+    # unscanned head/embeddings (replicated, and dominant at tiny scale)
+    # cap the total ratio — measured 0.83
+    assert both < 0.9 * tp_only
+
+    mesh = make_mesh(MeshSpec(data=2, tensor=4))
+    x = jnp.ones((2, 4, 4, 8, 8), jnp.float32) * 0.3
+    cond = {"context": jnp.zeros((2, 8, 32), jnp.float32)}
+    t = jnp.full((2,), 0.6, jnp.float32)
+    want = den.raw_apply(params, x, t, cond)
+
+    params_f = shard_params_tp(mesh, params, fsdp)
+    blk = params_f["params"]["blocks"]["block"]["ffn_0"]["kernel"]
+    assert blk.addressable_shards[0].data.shape[0] < blk.shape[0]
+    with mesh:
+        got = jax.jit(den.raw_apply)(params_f, x, t, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-5)
 
