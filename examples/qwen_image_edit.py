@@ -1,6 +1,23 @@
 """Qwen-Image-Edit masked edit with reference-latent conditioning
 (reference example_workflows/Qwen_Image_Edit_2509.json: custom-sampler path,
-reference latents appended as extra image tokens)."""
+reference latents appended as extra image tokens).
+
+With real weights, the text conditioning comes from the full Qwen2.5-VL
+multimodal path (the reference's TextEncodeQwenImageEdit node):
+
+    from lanpaint_tpu.text import NativeEncoder, VisionEncoder, encode_prompt
+    from lanpaint_tpu.models.load import (import_llama, import_qwen_vl_vision,
+                                          load_safetensors)
+    from lanpaint_tpu.models.textenc import QWEN25_7B_CONFIG
+    sd = load_safetensors("qwen_2.5_vl_7b.safetensors")
+    llama = NativeEncoder("llama", import_llama(sd, QWEN25_7B_CONFIG),
+                          QWEN25_7B_CONFIG, tokenizer)
+    vision = VisionEncoder(import_qwen_vl_vision(sd, QWEN25_VL_VISION_CONFIG))
+    cond = encode_prompt(prompt, family="qwen_edit", llama=llama,
+                         vision=vision, image=source_pixels_hwc)
+
+(vision tokens spliced at <|image_pad|>, multimodal rope — golden-tested
+against the HF Qwen2_5_VLModel in tests/test_vision.py)."""
 
 import jax.numpy as jnp
 

@@ -177,6 +177,8 @@ def _leaves(kind):
         return [("weight", "kernel")]
     if kind == "raw":
         return [("", "")]
+    if kind == "rms_weight":
+        return [("weight", "")]  # HF RMSNorm: 1-D `.weight`, raw leaf param
     if kind == "raw_linear":
         return [("weight", "")]
     return [("weight", "kernel"), ("bias", "bias")]
@@ -1021,6 +1023,41 @@ def import_hyvideo(state, cfg, prefix: str = "") -> dict:
 
 def export_hyvideo(params, cfg, prefix: str = "") -> dict:
     return _export(params, _hyvideo_entries(cfg), prefix)
+
+
+def _qwen_vl_vision_entries(cfg):
+    """Qwen2.5-VL vision tower, HF layout under the `visual.` prefix (the
+    qwen_2.5_vl_7b.safetensors the reference's Qwen workflows load; text
+    keys in the same file go through _llama_entries).  Fused qkv and the
+    biased vision MLP match models/vision.py's module structure."""
+    e = [
+        ("patch_embed.proj", ("patch_embed",),
+         ("conv3d_as_linear", (cfg.in_channels, cfg.temporal_patch_size,
+                               cfg.patch_size, cfg.patch_size)), None),
+        ("merger.ln_q", ("ln_q",), "rms_weight", None),
+        ("merger.mlp.0", ("merger_0",), "linear", None),
+        ("merger.mlp.2", ("merger_2",), "linear", None),
+    ]
+    for i in range(cfg.depth):
+        b, p, st = f"blocks.{i}", ("blocks", "block"), (i, cfg.depth)
+        e += [
+            (f"{b}.norm1", p + ("norm1",), "rms_weight", st),
+            (f"{b}.norm2", p + ("norm2",), "rms_weight", st),
+            (f"{b}.attn.qkv", p + ("qkv",), "linear", st),
+            (f"{b}.attn.proj", p + ("proj",), "linear", st),
+            (f"{b}.mlp.gate_proj", p + ("gate",), "linear", st),
+            (f"{b}.mlp.up_proj", p + ("up",), "linear", st),
+            (f"{b}.mlp.down_proj", p + ("down",), "linear", st),
+        ]
+    return e
+
+
+def import_qwen_vl_vision(state, cfg, prefix: str = "visual.") -> dict:
+    return _import(state, _qwen_vl_vision_entries(cfg), prefix)
+
+
+def export_qwen_vl_vision(params, cfg, prefix: str = "visual.") -> dict:
+    return _export(params, _qwen_vl_vision_entries(cfg), prefix)
 
 
 # --------------------------------------------------------------------------

@@ -276,6 +276,11 @@ class LlamaConfig:
     # per-head RMS q/k-norm before RoPE
     head_dim: Optional[int] = None
     qk_norm: bool = False
+    # Qwen2.5-VL multimodal rope: channel sections of head_dim//2 assigned
+    # to the (temporal, height, width) position streams.  Only engages when
+    # pos_ids are passed (vision tokens in the sequence); for pure text all
+    # three streams are equal, which reduces exactly to standard RoPE.
+    mrope_section: Optional[Tuple[int, int, int]] = None
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -288,7 +293,7 @@ LLAMA31_8B_CONFIG = LlamaConfig(rope_scaling=(8.0, 1.0, 4.0, 8192))
 QWEN25_7B_CONFIG = LlamaConfig(vocab_size=152064, dim=3584, layers=28,
                                heads=28, kv_heads=4, intermediate=18944,
                                rope_theta=1000000.0, qkv_bias=True,
-                               rms_eps=1e-6)
+                               rms_eps=1e-6, mrope_section=(16, 24, 24))
 # Qwen3 dense text stacks — the prompt encoders the reference's newest
 # workflow families pin (docs/family_facts.md): 0.6B = Anima, 4B =
 # Flux.2-Klein-4b / Krea2 (VL text tower), 8B = Flux.2-Klein-9b /
@@ -332,6 +337,25 @@ def _llama_rope(s: int, head_dim: int, theta: float,
 def _rotate_half(x):
     a, b = jnp.split(x, 2, axis=-1)
     return jnp.concatenate([-b, a], axis=-1)
+
+
+def _mrope_tables(pos_ids, head_dim: int, theta: float,
+                  section: Tuple[int, int, int]):
+    """Qwen2.5-VL multimodal rope tables from 3-stream position ids.
+
+    pos_ids (3, S): temporal/height/width positions (text tokens carry the
+    same value in all three).  Channel c of head_dim//2 uses stream k where
+    c falls in section k — HF apply_multimodal_rotary_pos_emb's i%3 chunk
+    pattern collapses to this single select because cos/sin tables are
+    (freqs, freqs) duplicated."""
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2, np.float32) / head_dim))
+    freqs = (pos_ids[:, :, None].astype(jnp.float32)
+             * jnp.asarray(inv)[None, None])             # (3, S, hd/2)
+    bounds = np.cumsum((0,) + tuple(section))
+    sel = jnp.concatenate(
+        [freqs[k, :, bounds[k]:bounds[k + 1]] for k in range(3)], axis=-1)
+    emb = jnp.concatenate([sel, sel], axis=-1)           # (S, head_dim)
+    return jnp.cos(emb), jnp.sin(emb)
 
 
 class _LlamaLayer(nn.Module):
@@ -383,14 +407,24 @@ class LlamaEncoder(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, ids: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None):
+    def __call__(self, ids: jnp.ndarray, attn_mask: Optional[jnp.ndarray] = None,
+                 embeds: Optional[jnp.ndarray] = None,
+                 pos_ids: Optional[jnp.ndarray] = None):
+        """`embeds` (B, S, dim) overrides the token-embedding lookup — the
+        multimodal injection path (Qwen2.5-VL vision tokens spliced at the
+        <|image_pad|> positions; `ids` still provided for shape/mask).
+        `pos_ids` (3, S) engages multimodal rope (cfg.mrope_section)."""
         c = self.cfg
         b, s = ids.shape
         emb = self.param("embed_tokens", nn.initializers.normal(0.02),
                          (c.vocab_size, c.dim), jnp.float32)
-        x = emb[ids].astype(c.dtype)
-        cos, sin = _llama_rope(s, c.head_width, c.rope_theta,
-                               c.rope_scaling)
+        x = (emb[ids] if embeds is None else embeds).astype(c.dtype)
+        if pos_ids is not None:
+            cos, sin = _mrope_tables(pos_ids, c.head_width, c.rope_theta,
+                                     c.mrope_section)
+        else:
+            cos, sin = _llama_rope(s, c.head_width, c.rope_theta,
+                                   c.rope_scaling)
         causal = jnp.tril(jnp.ones((s, s), bool))
         if attn_mask is not None:
             causal = causal[None, None] & attn_mask[:, None, None, :].astype(bool)

@@ -144,6 +144,72 @@ QWEN_IMAGE_TEMPLATE = (
     "and background:<|im_end|>\n<|im_start|>user\n{}<|im_end|>\n"
     "<|im_start|>assistant\n")
 
+# Qwen-Image-Edit convention (public diffusers QwenImageEditPipeline): the
+# source image rides the prompt as Qwen2.5-VL vision tokens between
+# <|vision_start|>/<|vision_end|>; the first 64 hidden states (system
+# prefix) are dropped before conditioning.
+QWEN_IMAGE_EDIT_TEMPLATE = (
+    "<|im_start|>system\nDescribe the key features of the input image "
+    "(color, shape, size, texture, objects, background), then explain how "
+    "the user's text instruction should alter or modify the image. Generate "
+    "a new image that meets the user's requirements while maintaining "
+    "consistency with the original input where appropriate.<|im_end|>\n"
+    "<|im_start|>user\n<|vision_start|><|image_pad|><|vision_end|>{}"
+    "<|im_end|>\n<|im_start|>assistant\n")
+QWEN_EDIT_DROP_PREFIX = 64
+
+# Qwen2.5-VL special token ids (HF tokenizer.json added_tokens)
+QWEN_VL_IMAGE_PAD_ID = 151655
+
+
+def qwen_vl_pos_ids(n_before: int, grid, n_after: int,
+                    merge: int = 2) -> np.ndarray:
+    """Qwen2.5-VL multimodal rope position ids (3, S) for one image span.
+
+    Mirrors HF Qwen2_5_VLModel.get_rope_index for [text; image; text]:
+    text before gets sequential ids 0..n_before-1 in all three streams;
+    the vision span gets (t, row, col) grid ids offset by n_before; text
+    after resumes at n_before + max(t, lh, lw)."""
+    t, h, w = grid
+    lh, lw = h // merge, w // merge
+    pre = np.broadcast_to(np.arange(n_before), (3, n_before))
+    tt = np.repeat(np.arange(t), lh * lw)
+    hh = np.tile(np.repeat(np.arange(lh), lw), t)
+    ww = np.tile(np.arange(lw), t * lh)
+    vis = np.stack([tt, hh, ww]) + n_before
+    start = n_before + max(t, lh, lw)
+    post = np.broadcast_to(np.arange(n_after), (3, n_after)) + start
+    return np.concatenate([pre, vis, post], axis=1).astype(np.int32)
+
+
+class VisionEncoder:
+    """Qwen2.5-VL vision tower = (flax params, config) -> image tokens.
+
+    __call__((H, W, 3) pixels in [0, 1]) -> (tokens (N, out_hidden), grid).
+    One jit specialization per image grid (static shapes); reuse an encoder
+    instance across calls so specializations are cached.
+    """
+
+    def __init__(self, params, cfg=None):
+        import jax
+
+        from .models.vision import QWEN25_VL_VISION_CONFIG
+
+        self.cfg = QWEN25_VL_VISION_CONFIG if cfg is None else cfg
+        self.params = jax.device_put(params)
+        self._fns: Dict[tuple, Any] = {}
+
+    def __call__(self, image):
+        import jax
+
+        from .models.vision import QwenVLVision, preprocess_image
+
+        patches, grid = preprocess_image(np.asarray(image), self.cfg)
+        if grid not in self._fns:
+            mod = QwenVLVision(self.cfg, grid)
+            self._fns[grid] = jax.jit(mod.apply)
+        return self._fns[grid](self.params, jnp.asarray(patches)), grid
+
 
 class NativeEncoder:
     """One text encoder = (flax params, config, tokenizer).
@@ -184,19 +250,56 @@ class NativeEncoder:
     def __call__(self, prompt: str, length: Optional[int] = None):
         return self._fn(self.params, self.ids(prompt, length))
 
+    def with_vision(self, ids: jnp.ndarray, vision_tokens: jnp.ndarray,
+                    pos: int, grid):
+        """Run the (llama-kind) stack with `vision_tokens` spliced into the
+        embedding sequence at static position `pos` (the multimodal
+        Qwen2.5-VL path, with multimodal rope position ids from the image
+        `grid`).  Jitted per (seq_len, n_vision, pos)."""
+        import jax
+
+        from .models import textenc as TE
+
+        if self.kind != "llama":
+            raise ValueError("with_vision requires a llama-kind encoder")
+        key = (ids.shape[1], vision_tokens.shape[0], pos)
+        if not hasattr(self, "_vis_fns"):
+            self._vis_fns = {}
+        if key not in self._vis_fns:
+            cfg = self.cfg
+
+            def fn(p, ids, vt, pos_ids):
+                emb = p["params"]["embed_tokens"]
+                x = emb[ids]
+                x = jax.lax.dynamic_update_slice(
+                    x, vt[None].astype(x.dtype), (0, pos, 0))
+                return TE.LlamaEncoder(cfg).apply(p, ids, embeds=x,
+                                                  pos_ids=pos_ids)
+
+            self._vis_fns[key] = jax.jit(fn)
+        n = vision_tokens.shape[0]
+        pos_ids = qwen_vl_pos_ids(pos, grid, ids.shape[1] - pos - n)
+        return self._vis_fns[key](self.params, ids, vision_tokens,
+                                  jnp.asarray(pos_ids))
+
 
 def encode_prompt(prompt: str, *, family: str,
                   clip_l: Optional[NativeEncoder] = None,
                   clip_g: Optional[NativeEncoder] = None,
                   t5: Optional[NativeEncoder] = None,
                   llama: Optional[NativeEncoder] = None,
+                  vision: Optional["VisionEncoder"] = None,
+                  image=None,
                   t5_length: int = 512, **assemble_kw) -> Dict[str, Any]:
     """Prompt string -> cond dict, entirely on-device.
 
     Families mirror `encode_prompt_hf`: sd15 (clip_l), sdxl (clip_l+clip_g),
     sd3 (clip_l+clip_g+t5), flux (clip_l+t5), qwen/wan (llama/t5),
-    qwen3 (bare Qwen3 states: Anima/Klein/Krea2), hidream (t5+clip_l+llama).  CLIP hidden states use each encoder's
-    clip_skip (default 2 = penultimate, the hosts' convention).
+    qwen_edit (llama + vision + image: source image as Qwen2.5-VL vision
+    tokens in the prompt sequence), qwen3 (bare Qwen3 states:
+    Anima/Klein/Krea2), hidream (t5+clip_l+llama).  CLIP hidden states use
+    each encoder's clip_skip (default 2 = penultimate, the hosts'
+    convention).
     """
 
     def clip_out(enc):
@@ -228,6 +331,21 @@ def encode_prompt(prompt: str, *, family: str,
         drop = assemble_kw.pop("drop_prefix_tokens",
                                34 if tpl is QWEN_IMAGE_TEMPLATE else 0)
         _hs, final = llama(tpl.format(prompt) if tpl else prompt)
+        return qwen_cond(final[:, drop:])
+    if family == "qwen_edit":
+        # Qwen-Image-Edit: vision tokens spliced at the <|image_pad|> slot,
+        # system-prefix hidden states dropped (diffusers QwenImageEdit
+        # convention), remainder (incl. the vision span) is the context.
+        tpl = assemble_kw.pop("template", QWEN_IMAGE_EDIT_TEMPLATE)
+        drop = assemble_kw.pop("drop_prefix_tokens", QWEN_EDIT_DROP_PREFIX)
+        pad_id = assemble_kw.pop("image_pad_id", QWEN_VL_IMAGE_PAD_ID)
+        vision_tokens, grid = vision(image)
+        n = int(vision_tokens.shape[0])
+        ids = list(llama.tokenizer.encode(tpl.format(prompt)))
+        pos = ids.index(pad_id)
+        ids = ids[:pos] + [pad_id] * n + ids[pos + 1:]
+        ids_arr = jnp.asarray(np.asarray(ids, np.int32))[None]
+        _hs, final = llama.with_vision(ids_arr, vision_tokens, pos, grid)
         return qwen_cond(final[:, drop:])
     if family == "qwen3":
         # Plain Qwen3 final hidden states as context — the prompt stack of
