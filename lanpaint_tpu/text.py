@@ -80,6 +80,12 @@ def hidream_cond(t5_hidden, pooled, llama_hidden_stack) -> Dict[str, Any]:
             "llama": _a(llama_hidden_stack)}
 
 
+def hyvideo_cond(llama_hidden, clip_l_pooled) -> Dict[str, Any]:
+    """HunyuanVideo dual encoder: llava-llama3 token features (context,
+    refined on-model by the token refiner) + CLIP-L pooled (vec)."""
+    return {"context": _a(llama_hidden), "vec": _a(clip_l_pooled)}
+
+
 def encode_prompt_hf(prompt: str, *, clip_l=None, clip_g=None, t5=None,
                      tokenizer_l=None, tokenizer_g=None, tokenizer_t5=None,
                      family: str = "sdxl", max_length: int = 77,
@@ -160,6 +166,26 @@ QWEN_EDIT_DROP_PREFIX = 64
 
 # Qwen2.5-VL special token ids (HF tokenizer.json added_tokens)
 QWEN_VL_IMAGE_PAD_ID = 151655
+
+# HunyuanVideo llava-llama3 chat templates (official hyvideo
+# constants.PROMPT_TEMPLATE): the system prefix is cropped from the hidden
+# states before conditioning (crop_start 36 image / 95 video).
+HYVIDEO_IMAGE_TEMPLATE = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the image by "
+    "detailing the color, shape, size, texture, quantity, text, spatial "
+    "relationships of the objects and background:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+HYVIDEO_IMAGE_CROP = 36
+HYVIDEO_VIDEO_TEMPLATE = (
+    "<|start_header_id|>system<|end_header_id|>\n\nDescribe the video by "
+    "detailing the following aspects: 1. The main content and theme of the "
+    "video.2. The color, shape, size, texture, quantity, text, and spatial "
+    "relationships of the objects.3. Actions, events, behaviors temporal "
+    "relationships, physical movement changes of the objects.4. background "
+    "environment, light, style and atmosphere.5. camera angles, movements, "
+    "and transitions used in the video:<|eot_id|>"
+    "<|start_header_id|>user<|end_header_id|>\n\n{}<|eot_id|>")
+HYVIDEO_VIDEO_CROP = 95
 
 
 def qwen_vl_pos_ids(n_before: int, grid, n_after: int,
@@ -360,4 +386,16 @@ def encode_prompt(prompt: str, *, family: str,
         hs, _final = llama(prompt)
         pooled = clip_out(clip_l)[1]
         return hidream_cond(t5(prompt, t5_length), pooled, hs[1:])
+    if family == "hyvideo":
+        # HunyuanVideo dual encoder: llava-llama3 hidden states behind the
+        # official chat template with the system prefix cropped, + CLIP-L
+        # pooled.  video=True selects the video template (crop 95 vs 36).
+        video = assemble_kw.pop("video", False)
+        tpl = assemble_kw.pop("template", HYVIDEO_VIDEO_TEMPLATE if video
+                              else HYVIDEO_IMAGE_TEMPLATE)
+        crop = assemble_kw.pop("crop_start", HYVIDEO_VIDEO_CROP if video
+                               else HYVIDEO_IMAGE_CROP)
+        _hs, final = llama(tpl.format(prompt))
+        pooled = clip_out(clip_l)[1]
+        return hyvideo_cond(final[:, crop:], pooled)
     raise ValueError(f"unknown family {family!r}")

@@ -166,6 +166,20 @@ def test_native_encode_prompt_families():
     assert cond["llama"].shape[0] == 2  # per-layer stack (layers, B, S, D)
     assert cond["vec"].shape == (1, 24)
 
+    # hyvideo: template-cropped llama states + CLIP pooled; the video
+    # template crops a longer system prefix than the image one
+    ci = T.encode_prompt("a cat", family="hyvideo", clip_l=clip_g,
+                         llama=llama)
+    cv = T.encode_prompt("a cat", family="hyvideo", clip_l=clip_g,
+                         llama=llama, video=True)
+    assert ci["context"].shape[2] == 16 and ci["vec"].shape == (1, 24)
+    n_img = len(llama.tokenizer.encode(
+        T.HYVIDEO_IMAGE_TEMPLATE.format("a cat")))
+    assert ci["context"].shape[1] == n_img - T.HYVIDEO_IMAGE_CROP
+    n_vid = len(llama.tokenizer.encode(
+        T.HYVIDEO_VIDEO_TEMPLATE.format("a cat")))
+    assert cv["context"].shape[1] == n_vid - T.HYVIDEO_VIDEO_CROP
+
     for text in ("a cat", "a very different prompt!"):
         c = T.encode_prompt(text, family="sd3", clip_l=clip_l, clip_g=clip_g,
                             t5=t5)
