@@ -9,6 +9,7 @@ kernels) driving JAX diffusion backbones.
 
 from .api import (  # noqa: F401
     LanPaintSampler,
+    edit_image,
     inpaint_image,
     inpaint_video,
     ksampler,

@@ -539,6 +539,46 @@ def inpaint_image(
     return jnp.transpose(blended, (0, 3, 1, 2))
 
 
+def edit_image(
+    model: Denoiser,
+    vae_module,
+    vae_params,
+    *,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    positive: Any,
+    negative: Any = None,
+    blend_overlap: int = 9,
+    **sampler_kwargs,
+):
+    """Qwen-Image-Edit masked edit: the source image conditions the DiT as
+    packed reference latents appended to the image token stream (the
+    reference workflow's ReferenceLatent path, Qwen_Image_Edit_2509.json),
+    on top of the usual VAE encode -> LanPaint -> decode -> MaskBlend.
+
+    For the full reference conditioning also pass `positive` built by
+    `text.encode_prompt(family="qwen_edit", vision=..., image=...)`, which
+    adds the Qwen2.5-VL vision tokens to the prompt sequence.  `image` is
+    (B, 3, H, W) in [-1, 1]; `mask` (H, W) with 1 = region to edit.
+    """
+    from .models.dit import pack_latent
+
+    latent = vae_module.apply(vae_params, image, method="encode")
+    ref = pack_latent(latent, 2)
+
+    def with_ref(cond):
+        if not isinstance(cond, dict):
+            return cond
+        out = dict(cond)
+        out.setdefault("ref_tokens", ref)
+        return out
+
+    return inpaint_image(
+        model, vae_module, vae_params, image=image, mask=mask,
+        positive=with_ref(positive), negative=with_ref(negative),
+        blend_overlap=blend_overlap, **sampler_kwargs)
+
+
 def inpaint_video(
     model: Denoiser,
     vae_module,

@@ -1191,9 +1191,11 @@ def import_llama(state, cfg, prefix: str = "model.") -> dict:
 
     Pass prefix="" for a bare *Model state dict, "model." for *ForCausalLM.
     """
-    if prefix + "embed_tokens.weight" not in state and \
-            "embed_tokens.weight" in state:
-        prefix = ""
+    if prefix + "embed_tokens.weight" not in state:
+        for alt in ("", "language_model.", "model.language_model."):
+            if alt + "embed_tokens.weight" in state:
+                prefix = alt  # bare *Model / Qwen2.5-VL multimodal layouts
+                break
     return _import(state, _llama_entries(cfg), prefix)
 
 

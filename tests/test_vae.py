@@ -131,6 +131,34 @@ def test_inpaint_image_pixel_pipeline(tiny_vae, key):
                                np.asarray(image)[..., :8, :8], atol=1e-4)
 
 
+def test_edit_image_reference_latent_pipeline(tiny_vae, key):
+    """Qwen-Image-Edit path: the source image rides the cond dict as packed
+    reference latents (ReferenceLatent analogue); outside the mask the
+    source survives; ref conditioning actually changes the inpainted
+    region vs the plain pipeline."""
+    from lanpaint_tpu import edit_image, inpaint_image
+    from lanpaint_tpu.models.zoo import build_tiny_dit
+
+    cfg, module, params = tiny_vae
+    den, _ = build_tiny_dit()
+    image = jnp.tanh(jax.random.normal(key, (1, 3, 32, 32), jnp.float32))
+    mask = np.zeros((32, 32), np.float32)
+    mask[8:24, 8:24] = 1.0
+    cond = {"context": jnp.zeros((1, 8, 32), jnp.float32),
+            "vec": jnp.zeros((1, 16), jnp.float32)}
+    kw = dict(image=image, mask=jnp.asarray(mask), positive=cond, seed=0,
+              steps=3, cfg=1.0, scheduler="normal", num_steps=2,
+              blend_overlap=5)
+    out = edit_image(den, module, params, **kw)
+    assert out.shape == image.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out)[..., :4, :4],
+                               np.asarray(image)[..., :4, :4], atol=1e-4)
+    plain = inpaint_image(den, module, params, **kw)
+    assert not np.allclose(np.asarray(out)[..., 8:24, 8:24],
+                           np.asarray(plain)[..., 8:24, 8:24])
+
+
 # -- Wan2.1 causal video VAE --------------------------------------------------
 
 
