@@ -76,23 +76,62 @@ def _add_sampler_flags(p: argparse.ArgumentParser):
 def _build_pipeline(args):
     from .pipeline import LanPaintPipeline
 
-    return LanPaintPipeline.from_single_file(
-        args.checkpoint, vocab=args.vocab, merges=args.merges,
-        height=args.height, width=args.width)
+    family = getattr(args, "family", "auto")
+    if family in ("auto", "sd15", "sdxl"):
+        return LanPaintPipeline.from_single_file(
+            args.checkpoint, vocab=args.vocab, merges=args.merges,
+            family=None if family == "auto" else family,
+            height=args.height, width=args.width)
+    return LanPaintPipeline.from_components(
+        family=family, model=args.checkpoint, vae=args.vae,
+        clip_l=args.clip_l, clip_g=args.clip_g, t5=args.t5,
+        llama=args.llama, clip_vocab=args.vocab, clip_merges=args.merges,
+        t5_tokenizer=args.t5_tokenizer, llama_tokenizer=args.llama_tokenizer,
+        with_vision=args.with_vision, height=args.height, width=args.width)
+
+
+def _add_component_flags(p):
+    p.add_argument("--family", default="auto",
+                   choices=["auto", "sd15", "sdxl", "flux", "sd35", "qwen"],
+                   help="auto/sd15/sdxl load --checkpoint as one file; "
+                        "flux/sd35/qwen use the multi-file component flags")
+    p.add_argument("--vae", default=None, help="VAE safetensors (DiT families)")
+    p.add_argument("--clip-l", default=None)
+    p.add_argument("--clip-g", default=None)
+    p.add_argument("--t5", default=None, help="T5-XXL safetensors")
+    p.add_argument("--llama", default=None,
+                   help="Qwen2.5-VL safetensors (qwen family)")
+    p.add_argument("--t5-tokenizer", default=None,
+                   help="spiece.model or tokenizer.json")
+    p.add_argument("--llama-tokenizer", default=None, help="tokenizer.json")
+    p.add_argument("--with-vision", action="store_true",
+                   help="load the Qwen2.5-VL vision tower (enables --edit)")
 
 
 def cmd_inpaint(args) -> int:
     pipe = _build_pipeline(args)
     image = _load_image(args.image, (args.width, args.height))
     mask = _load_mask(args.mask, (args.width, args.height))
-    out = pipe(
-        args.prompt, image=image, mask=mask,
+    common = dict(
         negative_prompt=args.negative_prompt, seed=args.seed,
         steps=args.steps, cfg=args.cfg, num_steps=args.think_steps,
         sampler_name=args.sampler, scheduler=args.scheduler,
         blend_overlap=args.blend_overlap, prompt_mode=args.prompt_mode,
         chunk_steps=args.chunk_steps or None,
         sequential_cfg=args.sequential_cfg)
+    if args.edit:
+        # Qwen-Image-Edit: the source image conditions the model both as
+        # Qwen2.5-VL vision tokens and as reference latents
+        from .api import edit_image
+
+        hwc = image[0].transpose(1, 2, 0) * 0.5 + 0.5
+        positive = pipe.encode(args.prompt, image=hwc)
+        negative = pipe.encode(common.pop("negative_prompt"))
+        out = edit_image(pipe.model, pipe.vae_module, pipe.vae_params,
+                         image=image, mask=mask, positive=positive,
+                         negative=negative, **common)
+    else:
+        out = pipe(args.prompt, image=image, mask=mask, **common)
     _save_image(args.output, out)
     print(args.output)
     return 0
@@ -141,24 +180,30 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("inpaint", help="inpaint one image")
     p.add_argument("--checkpoint", required=True,
-                   help="single-file SD1.x/SDXL safetensors")
-    p.add_argument("--vocab", required=True, help="CLIP vocab.json")
-    p.add_argument("--merges", required=True, help="CLIP merges.txt")
+                   help="single-file SD1.x/SDXL safetensors, or the "
+                        "diffusion-model file with --family flux/sd35/qwen")
+    p.add_argument("--vocab", default=None, help="CLIP vocab.json")
+    p.add_argument("--merges", default=None, help="CLIP merges.txt")
     p.add_argument("--image", required=True)
     p.add_argument("--mask", required=True,
                    help="grayscale mask image; >50%% = repaint")
     p.add_argument("--output", default="inpainted.png")
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--edit", action="store_true",
+                   help="Qwen-Image-Edit mode: condition on the input image "
+                        "(needs --family qwen --with-vision)")
+    _add_component_flags(p)
     _add_sampler_flags(p)
     p.set_defaults(fn=cmd_inpaint)
 
     p = sub.add_parser("serve", help="HTTP server + web UI on a checkpoint")
     p.add_argument("--checkpoint", required=True)
-    p.add_argument("--vocab", required=True)
-    p.add_argument("--merges", required=True)
+    p.add_argument("--vocab", default=None)
+    p.add_argument("--merges", default=None)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
+    _add_component_flags(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8776)
     p.add_argument("--batch-size", type=int, default=1)

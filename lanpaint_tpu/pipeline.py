@@ -32,6 +32,21 @@ def _import_clip_auto(sub: Dict[str, Any], cfg):
     return import_clip(sub, cfg)
 
 
+class _SingleFrameVAE:
+    """Adapter: a 3D (video) VAE used as a 2D image VAE (T=1 frame).
+
+    Qwen-Image pairs the Wan2.1-style causal video VAE with a 2D image DiT
+    (reference workflow qwen_image_vae); the 1+4k frame law maps one pixel
+    frame to one latent frame, so squeezing the frame axis is exact."""
+
+    def __init__(self, module):
+        self.module = module
+
+    def apply(self, params, x, method: str):
+        out = self.module.apply(params, x[:, :, None], method=method)
+        return out[:, :, 0]
+
+
 class LanPaintPipeline:
     def __init__(self, model, *, vae_module=None, vae_params=None,
                  encoders: Optional[Dict[str, NativeEncoder]] = None,
@@ -100,12 +115,156 @@ class LanPaintPipeline:
                    width=width)
 
     # ------------------------------------------------------------------
+    @classmethod
+    def from_components(cls, *, family: str, model, vae,
+                        clip_l=None, clip_g=None, t5=None, llama=None,
+                        clip_vocab: Optional[str] = None,
+                        clip_merges: Optional[str] = None,
+                        t5_tokenizer=None, llama_tokenizer=None,
+                        with_vision: bool = False,
+                        model_config=None, vae_config=None,
+                        clip_l_config=None, clip_g_config=None,
+                        t5_config=None, llama_config=None,
+                        vision_config=None, shift: Optional[float] = None,
+                        height: int = 1024, width: int = 1024
+                        ) -> "LanPaintPipeline":
+        """Build a pipeline from the multi-file layout modern releases ship
+        (separate diffusion model / text encoder(s) / VAE safetensors — the
+        reference's UNETLoader + DualCLIPLoader + VAELoader node trio).
+
+        Families: "flux" (clip_l + t5 + 16ch VAE), "sd35" (clip_l + clip_g
+        + t5 + 16ch VAE), "qwen" (Qwen2.5-VL llama stack + Wan-style 3D
+        VAE; with_vision=True also loads the vision tower for
+        Qwen-Image-Edit image conditioning).  Component args accept file
+        paths or pre-loaded state dicts; tokenizer args accept paths
+        (tokenizer.json / spiece.model / vocab+merges) or constructed
+        tokenizer objects.  *_config args override the full-size defaults
+        (used by the tiny-model tests).
+        """
+        from .models import textenc as TE
+        from .models.load import (
+            import_clip, import_dit, import_llama, import_qwen_vl_vision,
+            import_sd3, import_t5, import_vae, import_wan_vae,
+            load_safetensors,
+        )
+
+        def _state(x):
+            return load_safetensors(x) if isinstance(x, str) else x
+
+        def _clip_tok():
+            from .tokenizers import ClipBpeTokenizer
+
+            if not isinstance(clip_vocab, str):
+                return clip_vocab  # constructed tokenizer object
+            return ClipBpeTokenizer.from_files(clip_vocab, clip_merges)
+
+        def _t5_tok():
+            from .tokenizers import from_tokenizer_json, unigram_from_sentencepiece
+
+            if not isinstance(t5_tokenizer, str):
+                return t5_tokenizer
+            if t5_tokenizer.endswith(".json"):
+                return from_tokenizer_json(t5_tokenizer)
+            return unigram_from_sentencepiece(t5_tokenizer)
+
+        def _llama_tok():
+            from .tokenizers import from_tokenizer_json
+
+            if not isinstance(llama_tokenizer, str):
+                return llama_tokenizer
+            return from_tokenizer_json(llama_tokenizer)
+
+        encoders: Dict[str, Any] = {}
+        if family == "flux":
+            from .models.dit import FLUX_DEV_CONFIG
+            from .models.vae import FLUX_VAE_CONFIG, VAE
+            from .models.zoo import build_dit
+
+            cfg = model_config or FLUX_DEV_CONFIG
+            den, _ = build_dit(cfg, import_dit(_state(model), cfg),
+                               shift=1.15 if shift is None else shift,
+                               is_flux=True, name="flux")
+            vae_cfg = vae_config or FLUX_VAE_CONFIG
+            vae_module = VAE(vae_cfg)
+            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            cl = clip_l_config or TE.CLIP_L_CONFIG
+            encoders["clip_l"] = NativeEncoder(
+                "clip", import_clip(_state(clip_l), cl), cl, _clip_tok())
+            tc = t5_config or TE.T5_XXL_CONFIG
+            encoders["t5"] = NativeEncoder(
+                "t5", import_t5(_state(t5), tc), tc, _t5_tok())
+        elif family == "sd35":
+            from .models.sd3 import SD35_LARGE_CONFIG as _SD35
+            from .models.vae import SD3_VAE_CONFIG, VAE
+            from .models.zoo import build_sd3
+
+            cfg = model_config or _SD35
+            st = _state(model)
+            prefix = ("model.diffusion_model."
+                      if any(k.startswith("model.diffusion_model.")
+                             for k in st) else "")
+            den, _ = build_sd3(cfg, import_sd3(st, cfg, prefix=prefix),
+                               shift=3.0 if shift is None else shift,
+                               name="sd35")
+            vae_cfg = vae_config or SD3_VAE_CONFIG
+            vae_module = VAE(vae_cfg)
+            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            tok = _clip_tok()
+            cl = clip_l_config or TE.CLIP_L_CONFIG
+            cg = clip_g_config or TE.CLIP_G_CONFIG
+            encoders["clip_l"] = NativeEncoder(
+                "clip", _import_clip_auto(_state(clip_l), cl), cl, tok)
+            encoders["clip_g"] = NativeEncoder(
+                "clip", _import_clip_auto(_state(clip_g), cg), cg, tok)
+            tc = t5_config or TE.T5_XXL_CONFIG
+            encoders["t5"] = NativeEncoder(
+                "t5", import_t5(_state(t5), tc), tc, _t5_tok())
+            family = "sd3"
+        elif family == "qwen":
+            from .models.dit import QWEN_IMAGE_CONFIG
+            from .models.video_vae import QWEN_IMAGE_VAE_CONFIG, WanVAE
+            from .models.zoo import build_dit
+            from .text import VisionEncoder
+
+            cfg = model_config or QWEN_IMAGE_CONFIG
+            den, _ = build_dit(cfg, import_dit(_state(model), cfg),
+                               shift=2.2 if shift is None else shift,
+                               is_flux=False, name="qwen-image")
+            vae_cfg = vae_config or QWEN_IMAGE_VAE_CONFIG
+            vae_module = _SingleFrameVAE(WanVAE(vae_cfg))
+            vae_params = import_wan_vae(_state(vae), vae_cfg)
+            lst = _state(llama)
+            lc = llama_config or TE.QWEN25_7B_CONFIG
+            encoders["llama"] = NativeEncoder(
+                "llama", import_llama(lst, lc), lc, _llama_tok())
+            if with_vision:
+                from .models.vision import QWEN25_VL_VISION_CONFIG
+
+                vc = vision_config or QWEN25_VL_VISION_CONFIG
+                encoders["vision"] = VisionEncoder(
+                    import_qwen_vl_vision(lst, vc), vc)
+        else:
+            raise ValueError(f"from_components: unknown family {family!r} "
+                             "(flux, sd35, qwen)")
+        return cls(den, vae_module=vae_module, vae_params=vae_params,
+                   encoders=encoders, family=family, height=height,
+                   width=width)
+
+    # ------------------------------------------------------------------
     def encode(self, prompt: str, **kw) -> Dict[str, Any]:
         if self.family in ("sdxl",):
             kw.setdefault("height", self.height)
             kw.setdefault("width", self.width)
-        return encode_prompt(prompt, family=self.family, **self.encoders,
-                             **kw)
+        family = self.family
+        encoders = self.encoders
+        if family == "qwen" and kw.get("image") is not None:
+            if "vision" not in encoders:
+                raise ValueError("image conditioning needs "
+                                 "from_components(with_vision=True)")
+            family = "qwen_edit"
+        elif "vision" in encoders:
+            encoders = {k: v for k, v in encoders.items() if k != "vision"}
+        return encode_prompt(prompt, family=family, **encoders, **kw)
 
     def sample(self, *, positive, negative=None, latent, mask, **kw):
         """Latent-space LanPaint sampling (node-equivalent ksampler)."""
@@ -116,13 +275,16 @@ class LanPaintPipeline:
                  negative_prompt: str = "", seed: int = 0, steps: int = 30,
                  cfg: float = 5.0, num_steps: int = 5,
                  sampler_name: str = "euler", scheduler: str = "karras",
-                 blend_overlap: int = 9, **kw):
+                 blend_overlap: int = 9,
+                 encode_kw: Optional[Dict[str, Any]] = None, **kw):
         """Pixel-level inpaint: encode prompt(s) + VAE encode -> LanPaint ->
         VAE decode -> MaskBlend.  image: (B, 3, H, W) in [-1, 1]; mask:
-        (H, W), 1 = repaint."""
+        (H, W), 1 = repaint.  `encode_kw` goes to encode_prompt (e.g.
+        t5_length); other kwargs go to the sampler."""
+        ek = dict(encode_kw or {})
         image = jnp.asarray(image, jnp.float32)
-        positive = self.encode(prompt)
-        negative = self.encode(negative_prompt)
+        positive = self.encode(prompt, **ek)
+        negative = self.encode(negative_prompt, **ek)
         return inpaint_image(
             self.model, self.vae_module, self.vae_params, image=image,
             mask=mask, positive=positive, negative=negative, seed=seed,

@@ -92,3 +92,29 @@ def test_inpaint_command_end_to_end(tmp_path, monkeypatch, tiny_pipeline):
     inp = np.asarray(Image.open(tmp_path / "in.png"))
     np.testing.assert_allclose(out[:2].astype(int), inp[:2].astype(int),
                                atol=1)
+
+
+def test_family_flag_routes_to_from_components(monkeypatch, tmp_path):
+    """--family flux must call from_components with the component flags."""
+    from PIL import Image
+
+    from lanpaint_tpu.pipeline import LanPaintPipeline
+
+    seen = {}
+
+    def fake_from_components(cls=None, **kw):
+        seen.update(kw)
+        raise RuntimeError("stop-after-routing")
+
+    monkeypatch.setattr(LanPaintPipeline, "from_components",
+                        classmethod(lambda cls, **kw: fake_from_components(**kw)))
+    img = tmp_path / "i.png"
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(img)
+    with pytest.raises(RuntimeError, match="stop-after-routing"):
+        cli.main(["inpaint", "--checkpoint", "model.st", "--family", "flux",
+                  "--vae", "ae.st", "--clip-l", "clip.st", "--t5", "t5.st",
+                  "--t5-tokenizer", "spiece.model", "--vocab", "v.json",
+                  "--merges", "m.txt", "--image", str(img), "--mask",
+                  str(img)])
+    assert seen["family"] == "flux" and seen["vae"] == "ae.st"
+    assert seen["t5"] == "t5.st" and seen["clip_vocab"] == "v.json"
