@@ -92,7 +92,7 @@ def _build_pipeline(args):
 
 def _add_component_flags(p):
     p.add_argument("--family", default="auto",
-                   choices=["auto", "sd15", "sdxl", "flux", "sd35", "qwen"],
+                   choices=["auto", "sd15", "sdxl", "flux", "sd35", "qwen", "z-image"],
                    help="auto/sd15/sdxl load --checkpoint as one file; "
                         "flux/sd35/qwen use the multi-file component flags")
     p.add_argument("--vae", default=None, help="VAE safetensors (DiT families)")

@@ -135,7 +135,8 @@ class LanPaintPipeline:
         Families: "flux" (clip_l + t5 + 16ch VAE), "sd35" (clip_l + clip_g
         + t5 + 16ch VAE), "qwen" (Qwen2.5-VL llama stack + Wan-style 3D
         VAE; with_vision=True also loads the vision tower for
-        Qwen-Image-Edit image conditioning).  Component args accept file
+        Qwen-Image-Edit image conditioning), "z-image" (Qwen3-4B stack +
+        16ch VAE).  Component args accept file
         paths or pre-loaded state dicts; tokenizer args accept paths
         (tokenizer.json / spiece.model / vocab+merges) or constructed
         tokenizer objects.  *_config args override the full-size defaults
@@ -220,6 +221,22 @@ class LanPaintPipeline:
             encoders["t5"] = NativeEncoder(
                 "t5", import_t5(_state(t5), tc), tc, _t5_tok())
             family = "sd3"
+        elif family == "z-image":
+            from .models.dit import Z_IMAGE_CONFIG
+            from .models.vae import FLUX_VAE_CONFIG, VAE
+            from .models.zoo import build_dit
+
+            cfg = model_config or Z_IMAGE_CONFIG
+            den, _ = build_dit(cfg, import_dit(_state(model), cfg),
+                               shift=3.0 if shift is None else shift,
+                               is_flux=False, name="z-image")
+            vae_cfg = vae_config or FLUX_VAE_CONFIG
+            vae_module = VAE(vae_cfg)
+            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            lc = llama_config or TE.QWEN3_4B_CONFIG
+            encoders["llama"] = NativeEncoder(
+                "llama", import_llama(_state(llama), lc), lc, _llama_tok())
+            family = "qwen3"
         elif family == "qwen":
             from .models.dit import QWEN_IMAGE_CONFIG
             from .models.video_vae import QWEN_IMAGE_VAE_CONFIG, WanVAE
@@ -245,7 +262,7 @@ class LanPaintPipeline:
                     import_qwen_vl_vision(lst, vc), vc)
         else:
             raise ValueError(f"from_components: unknown family {family!r} "
-                             "(flux, sd35, qwen)")
+                             "(flux, sd35, qwen, z-image)")
         return cls(den, vae_module=vae_module, vae_params=vae_params,
                    encoders=encoders, family=family, height=height,
                    width=width)
