@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from common import example_argparser, outpaint_mask, report
 from lanpaint_tpu import sample_custom_advanced
 from lanpaint_tpu.models.dit import QWEN_IMAGE_CONFIG, TINY_DIT_CONFIG, pack_latent
-from lanpaint_tpu.models.load import import_dit, load_safetensors
+from lanpaint_tpu.models.load import import_mmdit_auto, load_safetensors
 from lanpaint_tpu.models.zoo import build_dit, build_tiny_dit
 from lanpaint_tpu.sigmas import calculate_sigmas
 
@@ -32,7 +32,8 @@ from lanpaint_tpu.sigmas import calculate_sigmas
 def main():
     args = example_argparser("Qwen-Image-Edit LanPaint").parse_args()
     if args.checkpoint:
-        params = import_dit(load_safetensors(args.checkpoint), QWEN_IMAGE_CONFIG)
+        params = import_mmdit_auto(load_safetensors(args.checkpoint),
+                                   QWEN_IMAGE_CONFIG)
         model, _ = build_dit(QWEN_IMAGE_CONFIG, params, shift=2.2,
                              is_flux=False, name="qwen-image")
         b, c, hw, ctx_d = 1, 16, 128, 3584

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 from common import example_argparser, outpaint_mask, report
 from lanpaint_tpu import ksampler
 from lanpaint_tpu.models.dit import QWEN_IMAGE_CONFIG, TINY_DIT_CONFIG
-from lanpaint_tpu.models.load import import_dit, load_safetensors
+from lanpaint_tpu.models.load import import_mmdit_auto, load_safetensors
 from lanpaint_tpu.models.zoo import build_dit, build_tiny_dit
 
 
@@ -15,7 +15,7 @@ def main():
     args = example_argparser("Qwen-Image LanPaint outpainting").parse_args()
     if args.checkpoint:
         cfg = QWEN_IMAGE_CONFIG
-        params = import_dit(load_safetensors(args.checkpoint), cfg)
+        params = import_mmdit_auto(load_safetensors(args.checkpoint), cfg)
         model, _ = build_dit(cfg, params, shift=2.2, is_flux=False,
                              name="qwen-image")
         b, hw = 1, 128

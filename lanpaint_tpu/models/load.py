@@ -718,6 +718,16 @@ def import_qwen(state, cfg, prefix: str = "") -> dict:
     return tb.build()
 
 
+def import_mmdit_auto(state, cfg, prefix: str = "") -> dict:
+    """MMDiT importer with layout auto-detection: public Qwen-Image
+    checkpoints ship the diffusers QwenImageTransformer2DModel layout
+    (transformer_blocks.*), Flux-style files and our own exports ship the
+    double_blocks/single_blocks layout."""
+    if any(k.startswith(prefix + "transformer_blocks.") for k in state):
+        return import_qwen(state, cfg, prefix)
+    return import_dit(state, cfg, prefix)
+
+
 def qwen_expected_keys(cfg, prefix: str = ""):
     """The checkpoint keys import_qwen consumes (manifest-coverage hook)."""
     keys = set()

@@ -243,8 +243,10 @@ class LanPaintPipeline:
             from .models.zoo import build_dit
             from .text import VisionEncoder
 
+            from .models.load import import_mmdit_auto
+
             cfg = model_config or QWEN_IMAGE_CONFIG
-            den, _ = build_dit(cfg, import_dit(_state(model), cfg),
+            den, _ = build_dit(cfg, import_mmdit_auto(_state(model), cfg),
                                shift=2.2 if shift is None else shift,
                                is_flux=False, name="qwen-image")
             vae_cfg = vae_config or QWEN_IMAGE_VAE_CONFIG
