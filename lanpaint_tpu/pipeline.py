@@ -152,6 +152,13 @@ class LanPaintPipeline:
         def _state(x):
             return load_safetensors(x) if isinstance(x, str) else x
 
+        def _vae_import(x, vae_cfg):
+            st = _state(x)
+            pre = ("first_stage_model."
+                   if any(k.startswith("first_stage_model.") for k in st)
+                   else "")  # combined checkpoints embed the VAE prefixed
+            return import_vae(st, vae_cfg, prefix=pre)
+
         def _clip_tok():
             from .tokenizers import ClipBpeTokenizer
 
@@ -187,7 +194,7 @@ class LanPaintPipeline:
                                is_flux=True, name="flux")
             vae_cfg = vae_config or FLUX_VAE_CONFIG
             vae_module = VAE(vae_cfg)
-            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            vae_params = _vae_import(vae, vae_cfg)
             cl = clip_l_config or TE.CLIP_L_CONFIG
             encoders["clip_l"] = NativeEncoder(
                 "clip", import_clip(_state(clip_l), cl), cl, _clip_tok())
@@ -209,7 +216,7 @@ class LanPaintPipeline:
                                name="sd35")
             vae_cfg = vae_config or SD3_VAE_CONFIG
             vae_module = VAE(vae_cfg)
-            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            vae_params = _vae_import(vae, vae_cfg)
             tok = _clip_tok()
             cl = clip_l_config or TE.CLIP_L_CONFIG
             cg = clip_g_config or TE.CLIP_G_CONFIG
@@ -232,7 +239,7 @@ class LanPaintPipeline:
                                is_flux=False, name="z-image")
             vae_cfg = vae_config or FLUX_VAE_CONFIG
             vae_module = VAE(vae_cfg)
-            vae_params = import_vae(_state(vae), vae_cfg, prefix="")
+            vae_params = _vae_import(vae, vae_cfg)
             lc = llama_config or TE.QWEN3_4B_CONFIG
             encoders["llama"] = NativeEncoder(
                 "llama", import_llama(_state(llama), lc), lc, _llama_tok())
