@@ -19,13 +19,26 @@ _TRIED = False
 
 
 def _build(src: str, out: str) -> bool:
+    # compile to a per-process temp path, then atomically publish: the
+    # in-process _LOCK cannot stop a concurrent process (xdist test
+    # workers) from observing a half-written .so
+    tmp = f"{out}.{os.getpid()}.tmp"
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
-           src, "-o", out]
+           src, "-o", tmp]
     try:
         res = subprocess.run(cmd, capture_output=True, timeout=120)
-        return res.returncode == 0
+        if res.returncode != 0:
+            return False
+        os.replace(tmp, out)
+        return True
     except (OSError, subprocess.TimeoutExpired):
         return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 def get_lib():
