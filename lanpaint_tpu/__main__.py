@@ -139,15 +139,18 @@ def cmd_inpaint(args) -> int:
 
 def cmd_serve(args) -> int:
     from .serve import (
-        InpaintServer, make_http_server, pipeline_runner, pipeline_validator,
+        InpaintServer, ProgressBoard, make_http_server, pipeline_runner,
+        pipeline_validator,
     )
 
     pipe = _build_pipeline(args)
+    board = ProgressBoard()
     srv = InpaintServer(
-        pipeline_runner(pipe, batch_size=args.batch_size),
+        pipeline_runner(pipe, batch_size=args.batch_size, progress=board),
         batch_size=args.batch_size, max_delay_s=args.max_delay_s,
         validator=pipeline_validator(args.batch_size))
-    httpd = make_http_server(srv, host=args.host, port=args.port)
+    httpd = make_http_server(srv, host=args.host, port=args.port,
+                             progress=board)
     print(f"serving on http://{args.host}:{httpd.server_address[1]}/ "
           f"(web UI at /, JSON API at /inpaint)", flush=True)
     try:

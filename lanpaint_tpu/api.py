@@ -288,7 +288,8 @@ _SAMPLER_CACHE: dict = {}
 
 def _cached_sampler(model: Denoiser, config: LanPaintConfig,
                     sampler_name: str, cfg: float, prompt_mode: str,
-                    sequential_cfg: bool = False) -> LanPaintSampler:
+                    sequential_cfg: bool = False,
+                    with_callback: bool = False) -> LanPaintSampler:
     """Memoize LanPaintSampler per (model, static hyperparameters).
 
     The node-style entry points (ksampler etc.) are called per request;
@@ -296,6 +297,12 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
     TPU backend re-COMPILE, minutes) the identical program.  Keyed on the
     model object identity plus every constructor argument that shapes the
     compiled code; latents/conds/seeds stay runtime arguments.
+
+    with_callback=True traces a swappable TRAMPOLINE into the program (the
+    actual callback is a trace-time constant via jax.debug.callback, so
+    per-request callbacks would otherwise recompile): callers set
+    `sam._cb_holder["cb"]` around the launch.  Kept out of the default
+    program — the debug.callback host sync costs real time per step.
     """
     import dataclasses as _dc
 
@@ -304,14 +311,23 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
     # the old tree would silently sample with stale device-pinned weights.
     key = (id(model), id(model.params), _dc.astuple(
         _dc.replace(config, distance_fn=None)), config.distance_fn,
-        sampler_name, float(cfg), prompt_mode, sequential_cfg)
+        sampler_name, float(cfg), prompt_mode, sequential_cfg,
+        with_callback)
     # LRU: a hit re-inserts at the end so a serving mix of >8 variants
     # evicts the coldest compiled program, not the hottest.
     sam = _SAMPLER_CACHE.pop(key, None)
     if sam is None:
+        holder: dict = {}
+        tramp = None
+        if with_callback:
+            def tramp(i, den, x, _h=holder):  # noqa: E306
+                cb = _h.get("cb")
+                if cb is not None:
+                    cb(i, den, x)
         sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
                               cfg=cfg, prompt_mode=prompt_mode,
-                              sequential_cfg=sequential_cfg)
+                              sequential_cfg=sequential_cfg, callback=tramp)
+        sam._cb_holder = holder
     _SAMPLER_CACHE[key] = sam
     # Bounded: each entry pins a device-resident weight copy; evict the
     # least-recently-used beyond 8 variants (dict preserves insertion order).
@@ -345,18 +361,27 @@ def ksampler(
     chunk_steps: Optional[int] = None,
     sequential_cfg: bool = False,
     noise: Optional[jnp.ndarray] = None,
+    callback: Optional[Callable] = None,
 ):
     """LanPaint_KSampler equivalent: simple API with reference defaults
     (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
     reference nodes.py:329-336).  `noise` overrides the seed-derived
-    initial noise (e.g. per-lane seeded noise in a served batch)."""
+    initial noise (e.g. per-lane seeded noise in a served batch);
+    `callback(i, denoised, x)` fires per outer step (preview/progress —
+    costs a host sync per step, so the no-callback program stays clean)."""
     config = LanPaintConfig(n_steps=num_steps)
     sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
-                          sequential_cfg)
+                          sequential_cfg, with_callback=callback is not None)
     sigmas = _build_sigmas(model, scheduler, steps, denoise)
-    samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
-                     uncond=negative, mask=mask, seed=seed, video=video,
-                     chunk_steps=chunk_steps, noise=noise)
+    if callback is not None:
+        sam._cb_holder["cb"] = callback
+    try:
+        samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
+                         uncond=negative, mask=mask, seed=seed, video=video,
+                         chunk_steps=chunk_steps, noise=noise)
+    finally:
+        if callback is not None:
+            sam._cb_holder["cb"] = None
     return samples
 
 

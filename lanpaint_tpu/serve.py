@@ -110,6 +110,46 @@ class Stats:
             }
 
 
+class ProgressBoard:
+    """Per-request progress + latest preview, for polling while a request
+    is in flight (the reference host's latent_preview role: TAESD/latent
+    previews pushed to the UI during sampling).  Thread-safe; bounded."""
+
+    def __init__(self, keep: int = 256):
+        self._lock = threading.Lock()
+        self._keep = keep
+        self._d: Dict[str, Dict[str, Any]] = {}
+
+    def update(self, rid: str, **fields):
+        with self._lock:
+            entry = self._d.setdefault(rid, {"step": 0, "total": 0,
+                                             "done": False, "preview": None})
+            entry.update(fields)
+            while len(self._d) > self._keep:
+                self._d.pop(next(iter(self._d)))
+
+    def get(self, rid: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            e = self._d.get(rid)
+            return dict(e) if e is not None else None
+
+
+def latent_preview_rgb(denoised) -> "Any":
+    """Model-agnostic latent -> uint8 RGB preview: up to 3 latent channels,
+    per-image normalized.  (The reference's latent2rgb fallback role —
+    exact colors need per-model factors; this stays model-agnostic.)"""
+    import numpy as np
+
+    d = np.asarray(denoised, np.float32)
+    if d.ndim == 5:
+        d = d[:, :, 0]                      # video: first frame
+    rgb = d[:, :3] if d.shape[1] >= 3 else np.repeat(d[:, :1], 3, axis=1)
+    lo = rgb.min(axis=(1, 2, 3), keepdims=True)
+    hi = rgb.max(axis=(1, 2, 3), keepdims=True)
+    rgb = (rgb - lo) / np.maximum(hi - lo, 1e-8)
+    return (rgb.transpose(0, 2, 3, 1) * 255).astype(np.uint8)  # (B, h, w, 3)
+
+
 class InpaintServer:
     """Dynamic micro-batching executor over a single-owner device thread."""
 
@@ -271,8 +311,19 @@ def pipeline_validator(batch_size: int = 4):
     return validate
 
 
-def pipeline_runner(pipeline, *, batch_size: int = 4):
+def pipeline_runner(pipeline, *, batch_size: int = 4,
+                    progress: Optional[ProgressBoard] = None,
+                    previewer: Optional[Callable] = None,
+                    preview_every: int = 2):
     """Adapt a LanPaintPipeline to the server's list-of-requests contract.
+
+    With `progress`, requests that carry extras["request_id"] get per-step
+    progress (and every `preview_every` steps a preview image from
+    `previewer(denoised_latents) -> (B, h, w, 3) uint8`, default
+    latent_preview_rgb) published to the board — pollable over HTTP at
+    GET /progress?id=... while the request runs.  The preview callback
+    costs a host sync per outer step, so it is only traced into the
+    program when some lane asked for progress.
 
     Per-lane prompts are encoded once each (padding lanes REUSE lane 0's
     conditioning — no duplicate encoder work) and stacked along the batch
@@ -320,13 +371,40 @@ def pipeline_runner(pipeline, *, batch_size: int = 4):
             for r in lanes])
         from .api import inpaint_image
 
-        outs = inpaint_image(
-            pipeline.model, pipeline.vae_module, pipeline.vae_params,
-            image=images, mask=masks, positive=positive, negative=negative,
-            seed=batch[0].seed, steps=v.steps, cfg=v.cfg,
-            sampler_name=v.sampler_name, scheduler=v.scheduler,
-            num_steps=v.num_steps, chunk_steps=v.chunk_steps,
-            sequential_cfg=v.sequential_cfg, noise=jnp.asarray(noise))
+        callback = None
+        rids = [r.extras.get("request_id") for r in batch]
+        if progress is not None and any(rids):
+            prev = previewer or latent_preview_rgb
+            for rid in rids:
+                if rid:
+                    progress.update(rid, step=0, total=v.steps, done=False)
+
+            def callback(i, den, x):
+                imgs = (prev(den) if (i % max(1, preview_every)) == 0
+                        else None)
+                for lane, rid in enumerate(rids):
+                    if not rid:
+                        continue
+                    fields: Dict[str, Any] = {"step": int(i) + 1,
+                                              "total": v.steps}
+                    if imgs is not None:
+                        fields["preview"] = _encode_array(imgs[lane])
+                    progress.update(rid, **fields)
+
+        try:
+            outs = inpaint_image(
+                pipeline.model, pipeline.vae_module, pipeline.vae_params,
+                image=images, mask=masks, positive=positive,
+                negative=negative, seed=batch[0].seed, steps=v.steps,
+                cfg=v.cfg, sampler_name=v.sampler_name,
+                scheduler=v.scheduler, num_steps=v.num_steps,
+                chunk_steps=v.chunk_steps, sequential_cfg=v.sequential_cfg,
+                noise=jnp.asarray(noise), callback=callback)
+        finally:
+            if progress is not None:
+                for rid in rids:
+                    if rid:
+                        progress.update(rid, done=True)
         outs = np.asarray(outs)
         return [outs[i] for i in range(n)]
 
@@ -353,16 +431,21 @@ def _decode_array(d):
 
 
 def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
-                     port: int = 8776, request_timeout_s: float = 600.0):
+                     port: int = 8776, request_timeout_s: float = 600.0,
+                     progress: Optional[ProgressBoard] = None):
     """HTTP front end (stdlib-only).  Endpoints:
 
     GET  /         browser front end (webui.INDEX_HTML: mask painting +
                    every Variant field as a form control)
     POST /inpaint  {"prompt": ..., "image": {shape,dtype,data_b64},
-                    "mask": {...}, "seed": int, "variant": {...}}
+                    "mask": {...}, "seed": int, "variant": {...},
+                    "request_id": str (optional — enables /progress)}
                    -> {"image": {shape,dtype,data_b64}}
     GET  /healthz  -> {"ok": true}
     GET  /stats    -> serving counters + latency percentiles
+    GET  /progress?id=RID  -> {"step", "total", "done", "preview"} while a
+                   request with that request_id runs (needs a `progress`
+                   board shared with pipeline_runner)
 
     Returns an http.server.ThreadingHTTPServer; call .serve_forever() (or
     run it in a thread) and .shutdown() to stop.
@@ -386,6 +469,15 @@ def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
                 self._json(200, {"ok": True})
             elif self.path == "/stats":
                 self._json(200, server.stats.snapshot())
+            elif self.path.startswith("/progress"):
+                from urllib.parse import parse_qs, urlparse
+
+                rid = parse_qs(urlparse(self.path).query).get("id", [""])[0]
+                entry = progress.get(rid) if (progress and rid) else None
+                if entry is None:
+                    self._json(404, {"error": "unknown request id"})
+                else:
+                    self._json(200, entry)
             elif self.path in ("/", "/index.html"):
                 from . import webui
 
@@ -413,6 +505,8 @@ def make_http_server(server: InpaintServer, host: str = "127.0.0.1",
                     seed=int(payload.get("seed", 0)),
                     variant=Variant(**payload.get("variant", {})),
                 )
+                if payload.get("request_id"):
+                    req.extras["request_id"] = str(payload["request_id"])
                 out = server.submit(req).result(timeout=request_timeout_s)
                 import numpy as np
 

@@ -244,8 +244,19 @@ $("go").onclick = async () => {
     },
     ...grabTensors(),
   };
+  const rid = "web-" + Math.random().toString(36).slice(2);
+  payload.request_id = rid;
   status("sampling\\u2026");
   $("go").disabled = true;
+  const poll = setInterval(async () => {
+    try {
+      const r = await fetch("/progress?id=" + rid);
+      if (!r.ok) return;
+      const p = await r.json();
+      if (p.total) status("sampling\\u2026 step " + p.step + "/" + p.total);
+      if (p.preview) showPreview(p.preview);
+    } catch (e) { /* server busy; keep last */ }
+  }, 1500);
   try {
     const rsp = await fetch("/inpaint", {
       method: "POST", body: JSON.stringify(payload),
@@ -258,9 +269,29 @@ $("go").onclick = async () => {
   } catch (e) {
     status(String(e), true);
   } finally {
+    clearInterval(poll);
     $("go").disabled = false;
   }
 };
+
+// low-res latent preview (uint8 HWC) upscaled onto the output canvas
+function showPreview(t) {
+  const [h, w, c] = t.shape;
+  const raw = Uint8Array.from(atob(t.data_b64), ch => ch.charCodeAt(0));
+  const tmp = document.createElement("canvas");
+  tmp.width = w; tmp.height = h;
+  const im = tmp.getContext("2d").createImageData(w, h);
+  for (let i = 0; i < h * w; i++) {
+    im.data[4 * i] = raw[c * i];
+    im.data[4 * i + 1] = raw[c * i + 1];
+    im.data[4 * i + 2] = raw[c * i + 2];
+    im.data[4 * i + 3] = 255;
+  }
+  tmp.getContext("2d").putImageData(im, 0, 0);
+  const ctx = $("outc").getContext("2d");
+  ctx.imageSmoothingEnabled = true;
+  ctx.drawImage(tmp, 0, 0, $("outc").width, $("outc").height);
+}
 
 async function pollStats() {
   try {

@@ -342,3 +342,98 @@ def test_pipeline_runner_per_lane_seeds():
     noise = seen["noise"]
     assert noise.shape == (2, 4, 2, 2)
     assert not np.allclose(noise[0], noise[1])   # per-lane seeds differ
+
+
+def test_pipeline_runner_progress_and_preview():
+    """Requests carrying a request_id get per-step progress + latent
+    previews on the ProgressBoard; lanes without an id stay silent."""
+    import lanpaint_tpu.api as api_mod
+    import lanpaint_tpu.serve as serve_mod
+
+    class FakePipe:
+        model = type("M", (), {"latent_channels": 4})()
+        vae_module = "V"
+        vae_params = "P"
+
+        def encode(self, prompt):
+            return {"context": np.zeros((1, 2, 2), np.float32)}
+
+    def fake_inpaint_image(model, vae_module, vae_params, *, image, mask,
+                           positive, negative, callback=None, **kw):
+        assert callback is not None
+        lat = np.arange(image.shape[0] * 4 * 2 * 2, dtype=np.float32
+                        ).reshape(image.shape[0], 4, 2, 2)
+        for i in range(3):
+            callback(i, lat, lat)
+        return image
+
+    board = serve_mod.ProgressBoard()
+    orig = api_mod.inpaint_image
+    api_mod.inpaint_image = fake_inpaint_image
+    try:
+        run = serve_mod.pipeline_runner(FakePipe(), batch_size=2,
+                                        progress=board)
+        v = Variant(height=16, width=16, steps=3)
+        reqs = [Request(prompt="a", image=np.zeros((3, 16, 16), np.float32),
+                        mask=np.ones((16, 16), np.float32), variant=v,
+                        extras={"request_id": "r1"}),
+                Request(prompt="b", image=np.zeros((3, 16, 16), np.float32),
+                        mask=np.ones((16, 16), np.float32), variant=v)]
+        run(reqs)
+    finally:
+        api_mod.inpaint_image = orig
+
+    e = board.get("r1")
+    assert e is not None and e["done"]
+    assert e["step"] == 3 and e["total"] == 3
+    assert e["preview"] is not None and e["preview"]["shape"] == [2, 2, 3]
+    assert board.get("") is None  # the id-less lane published nothing
+
+
+def test_http_progress_endpoint():
+    from lanpaint_tpu.serve import ProgressBoard
+
+    board = ProgressBoard()
+    done = threading.Event()
+
+    def run(batch):
+        for r in batch:
+            rid = r.extras.get("request_id")
+            if rid:
+                board.update(rid, step=1, total=2)
+        done.wait(5)
+        return [np.zeros((3, 2, 2), np.float32) for _ in batch]
+
+    srv = InpaintServer(run, batch_size=1, max_delay_s=0.01)
+    httpd = make_http_server(srv, port=0, progress=board)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        payload = {"image": _encode_array(np.zeros((3, 2, 2), np.float32)),
+                   "mask": _encode_array(np.ones((2, 2), np.float32)),
+                   "variant": {"steps": 2}, "request_id": "xyz"}
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/inpaint", json.dumps(payload),
+                     {"Content-Type": "application/json"})
+        # poll progress WHILE the request is blocked in the runner
+        for _ in range(100):
+            c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            c2.request("GET", "/progress?id=xyz")
+            r2 = c2.getresponse()
+            if r2.status == 200:
+                prog = json.loads(r2.read())
+                break
+            r2.read()
+            time.sleep(0.05)
+        else:
+            raise AssertionError("progress never appeared")
+        assert prog["step"] == 1 and prog["total"] == 2
+        done.set()
+        assert conn.getresponse().status == 200
+        c3 = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        c3.request("GET", "/progress?id=nope")
+        assert c3.getresponse().status == 404
+    finally:
+        done.set()
+        httpd.shutdown()
+        srv.close()
