@@ -197,6 +197,31 @@ def wan_tp_rules():
     ]
 
 
+def unet_tp_rules():
+    """TP rules for the SD/SDXL UNet: shard the transformer blocks (the
+    FLOP/time majority at 1024px — spatial self-attention over 4096
+    tokens + geglu FFN), Megatron column/row.  Convs/norms/time-emb stay
+    replicated: channel-sharding convs buys little at their widths and
+    GroupNorm(32) stats would cross shards.  Scanned block weights carry
+    depth as axis 0; q/k/v are bias-free, the geglu in-projection's bias
+    is column-sharded with its kernel, to_out's bias rides the psum."""
+    col3 = P(None, None, "tensor")
+    row3 = P(None, "tensor", None)
+    return [
+        (lambda n: "/block/" in n and any(
+            f"/{a}/{w}/kernel" in n for a in ("attn1", "attn2")
+            for w in ("to_q", "to_k", "to_v")), col3),
+        (lambda n: "/block/" in n and "/to_out/kernel" in n, row3),
+        (lambda n: "/block/" in n and "ff/net_0/proj/kernel" in n, col3),
+        (lambda n: "/block/" in n and "ff/net_0/proj/bias" in n,
+         P(None, "tensor")),
+        (lambda n: "/block/" in n and "ff/net_2/kernel" in n, row3),
+        (lambda n: "_attn/proj_in/kernel" in n, P(None, "tensor")),
+        (lambda n: "_attn/proj_in/bias" in n, P("tensor")),
+        (lambda n: "_attn/proj_out/kernel" in n, P("tensor", None)),
+    ]
+
+
 def dit_tp_rules():
     """TP rules for the MMDiT family (Flux/Qwen/Z-Image)."""
     col = P(None, None, "tensor")

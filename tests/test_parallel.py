@@ -144,6 +144,40 @@ def test_expert_parallel_hidream_matches_replicated():
                                rtol=1e-5, atol=1e-5)
 
 
+def test_tensor_parallel_unet_matches_replicated():
+    """TP-sharded SDXL-style UNet (transformer blocks column/row, convs
+    replicated) must match the replicated forward — the headline model's
+    multi-chip latency path."""
+    import dataclasses
+
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG
+    from lanpaint_tpu.models.zoo import build_unet
+    from lanpaint_tpu.parallel.mesh import shard_params_tp, unet_tp_rules
+
+    mesh = make_mesh(MeshSpec(data=2, tensor=4))
+    # fp32 compute and jit-vs-jit: the tiny config's bf16 eager forward
+    # differs from ANY jitted forward by ~0.1 (fusion/reduction order),
+    # sharded or not — that noise would mask a real TP bug
+    cfg = dataclasses.replace(TINY_UNET_CONFIG, dtype=jnp.float32)
+    den, params = build_unet(cfg, name="tiny-unet-f32")
+    x = jnp.linspace(-1, 1, 2 * 4 * 16 * 16, dtype=jnp.float32
+                     ).reshape(2, 4, 16, 16)
+    cond = {"context": jnp.full((2, 8, 32), 0.1, jnp.float32),
+            "y": jnp.full((2, 64), 0.2, jnp.float32)}
+    t = jnp.full((2,), 5.0, jnp.float32)
+
+    want = jax.jit(den.raw_apply)(params, x, t, cond)
+
+    params_tp = shard_params_tp(mesh, params, unet_tp_rules())
+    # the attention kernels are really sharded
+    qk = params_tp["params"]["mid_attn"]["blocks"]["block"]["attn1"]["to_q"]["kernel"]
+    assert qk.addressable_shards[0].data.shape[-1] < qk.shape[-1]
+    with mesh:
+        got = jax.jit(den.raw_apply)(params_tp, x, t, cond)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_fsdp_layer_sharding_wan_matches_and_shrinks():
     """layer_shard_rules composes FSDP-style depth-axis sharding with TP:
     per-device plan bytes drop by ~data*tensor for the scanned stack, and
