@@ -14,6 +14,7 @@ from .api import (  # noqa: F401
     inpaint_video,
     ksampler,
     ksampler_advanced,
+    outpaint_image,
     sample_custom,
     sample_custom_advanced,
 )

@@ -564,6 +564,35 @@ def inpaint_image(
     return jnp.transpose(blended, (0, 3, 1, 2))
 
 
+def outpaint_image(
+    model: Denoiser,
+    vae_module,
+    vae_params,
+    *,
+    image: jnp.ndarray,
+    padding,
+    positive: Any,
+    **kw,
+):
+    """Outpainting (reference Qwen_Image_Outpainting workflow): grow the
+    canvas by `padding` = (top, bottom, left, right) pixels (multiples of
+    the VAE stride), edge-replicate the source into the new border, mask
+    the border as the repaint region, and run the pixel inpaint pipeline.
+
+    Returns the (B, 3, H+t+b, W+l+r) outpainted canvas."""
+    import numpy as np
+
+    t, b, lft, r = padding
+    img = np.asarray(image, np.float32)
+    canvas = np.pad(img, ((0, 0), (0, 0), (t, b), (lft, r)), mode="edge")
+    hh, ww = canvas.shape[2], canvas.shape[3]
+    mask = np.ones((hh, ww), np.float32)
+    mask[t:hh - b if b else hh, lft:ww - r if r else ww] = 0.0
+    return inpaint_image(model, vae_module, vae_params,
+                         image=jnp.asarray(canvas), mask=jnp.asarray(mask),
+                         positive=positive, **kw)
+
+
 def edit_image(
     model: Denoiser,
     vae_module,

@@ -305,3 +305,24 @@ def test_inpaint_video_pixel_pipeline_wan22_vae(key):
     # far outside the (dilated+feathered) mask the original pixels survive
     np.testing.assert_allclose(np.asarray(out)[..., :2, :2],
                                np.asarray(video)[..., :2, :2], atol=1e-4)
+
+
+def test_outpaint_image_grows_canvas(tiny_vae, key):
+    """Outpainting: border = repaint region; the interior survives the
+    blend; output canvas carries the padded size."""
+    from lanpaint_tpu import outpaint_image
+    from lanpaint_tpu.models.zoo import build_tiny_unet
+
+    cfg, module, params = tiny_vae
+    den, _ = build_tiny_unet()
+    image = jnp.tanh(jax.random.normal(key, (1, 3, 32, 32), jnp.float32))
+    out = outpaint_image(
+        den, module, params, image=image, padding=(0, 0, 16, 16),
+        positive={"context": jnp.zeros((1, 8, 32), jnp.float32)},
+        seed=0, steps=3, cfg=1.0, scheduler="normal", num_steps=1,
+        blend_overlap=5)
+    assert out.shape == (1, 3, 32, 64)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    # the original interior (away from the feathered seam) is preserved
+    np.testing.assert_allclose(np.asarray(out)[..., 8:24, 24:40],
+                               np.asarray(image)[..., 8:24, 8:24], atol=1e-4)
