@@ -34,8 +34,22 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
 # H=24, B=1): the kernel's default 512 blocks leave ~4x kernel time on the
 # table (0.73 s -> 0.19 s of self-attention per 30-block forward at 1024);
 # 2816 exceeds the 16 MB scoped-vmem budget.  1024 is the sweet spot across
-# every q/k combination swept (512/1024/1408/2048 grid).
+# every q/k combination swept (512/1024/1408/2048 grid).  Re-confirmed for
+# the SDXL-1024 shapes with profiler-derived device times (2026-08-18,
+# 9-point q/k grid): S=4096 H=10 D=64 -> 0.630 ms (69 TF/s) and S=1024
+# H=20 D=64 -> 0.074 ms (72 TF/s) at 1024/1024; every other block combo
+# is equal or worse (q1024/k128 is 2.2x worse).  ~35% MFU is the kernel's
+# ceiling at D=64 head width.
 FLASH_BLOCK = 1024
+
+# Unroll the scan-over-depth in SpatialTransformer?  Measured on v5e
+# (2026-08-18): the scanned while-loop costs ~11% of each depth-10
+# transformer's device time in stacked-param dynamic-slices + loop-carry
+# copies, so unrolling looked attractive — but a fully-unrolled SDXL
+# forward did not finish COMPILING in 15 min (vs 112 s scanned) through
+# the TPU relay, which kills the whole program (the full-sampler compile
+# is ~6 min scanned).  Compile survival wins; keep the scan.
+UNROLL_DEPTH_SCAN = False
 
 
 def _flash_block_sizes(s_padded: int, block: int):
@@ -261,6 +275,7 @@ class SpatialTransformer(nn.Module):
             split_rngs={"params": True},
             length=self.depth,
             in_axes=nn.broadcast,
+            unroll=self.depth if UNROLL_DEPTH_SCAN else 1,
         )
         x, _ = scan(c, self.context_dim, self.num_heads, head_dim,
                     self.dtype, name="blocks")(x, context)
