@@ -18,13 +18,17 @@ Judgable-performance fields (independent of that estimate):
   changes).
 * mfu — model FLOPs utilization vs the v5e peak 197 TFLOP/s (bf16).
 
-fused_delta_s documents why LanPaintConfig.use_fused_kernels defaults to
-False: measured end-to-end on the chip (2026-08-17), the fused Pallas
-pointwise path is +0.88 s per run (15.91 s vs 15.03 s) — XLA already fuses
-the think-loop pointwise chain into adjacent ops, and the standalone kernel
-adds HBM materialization of its operands.  The 8x win of the kernel is real
-only for the isolated pointwise op (commit ec08c06), not the full program.
-Set LANPAINT_BENCH_FUSED=1 to re-measure both paths live.
+Optional same-run measurement blocks (each adds a full compile+timing):
+* LANPAINT_BENCH_FUSED=1  — the fused Pallas pointwise path (historically
+  +0.88 s: XLA already fuses the think-loop pointwise chain, the kernel
+  adds HBM materialization; hence use_fused_kernels=False).  The delta is
+  emitted ONLY when measured in the same run — never a replayed constant.
+* LANPAINT_BENCH_QKV=1    — the UNFUSED-QKV layout A/B (r3 measured the
+  shipped fusion at -1.058 s / MFU 0.227 -> 0.249).
+* LANPAINT_BENCH_B4 (default ON; 0 disables) — B=4 serving-lane
+  throughput (r3: 0.91x of 4 x B=1 — batching does NOT amortize this
+  workload; see docs/architecture.md).
+* LANPAINT_BENCH_QUALITY=1 — deterministic masked PSNR/SSIM canary.
 
 tpu_selftest runs tests/test_fused.py + tests/test_attention.py on the real
 chip (the CPU-only CI cannot see Pallas regressions) — ~20 s.  Disable with
@@ -65,26 +69,28 @@ BASELINE_SECONDS = PAIR_CALLS * 0.25   # A100 estimate (see docstring)
 log = lambda m: print(m, file=sys.stderr, flush=True)
 
 
-def _build_sampler(fused: bool):
+def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True):
     from lanpaint_tpu import LanPaintConfig, LanPaintSampler
     from lanpaint_tpu.models.unet import SDXL_CONFIG
     from lanpaint_tpu.models.zoo import build_unet
     from lanpaint_tpu.sigmas import calculate_sigmas
 
+    import dataclasses
     import ml_dtypes
     import numpy as onp
 
-    log("bench: init SDXL params (host)")
-    den, params = build_unet(SDXL_CONFIG, init_hw=32, name="sdxl")
+    cfg_model = dataclasses.replace(SDXL_CONFIG, fused_qkv=fused_qkv)
+    log(f"bench: init SDXL params (host), b={batch} qkv_fused={fused_qkv}")
+    den, params = build_unet(cfg_model, init_hw=32, name="sdxl")
     # bf16 weights (TPU serving layout); cast on host — per-leaf device casts
     # through the tunnel are slow
     params = jax.tree.map(
         lambda p: onp.asarray(p).astype(ml_dtypes.bfloat16), params
     )
-    den_bf16, _ = build_unet(SDXL_CONFIG, params, name="sdxl")
+    den_bf16, _ = build_unet(cfg_model, params, name="sdxl")
     del params
 
-    b = 1
+    b = batch
     latent = jnp.zeros((b, 4, 128, 128), jnp.float32)
     mask = np.zeros((1024, 1024), np.float32)
     mask[256:768, 256:768] = 1.0  # center square inpaint
@@ -118,14 +124,15 @@ def _build_sampler(fused: bool):
     return run
 
 
-def _time_path(fused: bool) -> float:
-    run = _build_sampler(fused)
-    log(f"bench: compile + warmup run (fused={fused})")
+def _time_path(fused: bool, batch: int = 1, fused_qkv: bool = True,
+               repeats: int = 3) -> float:
+    run = _build_sampler(fused, batch=batch, fused_qkv=fused_qkv)
+    log(f"bench: compile + warmup run (fused={fused}, b={batch})")
     t0 = time.perf_counter()
     run(0)
     log(f"bench: compile+first run {time.perf_counter() - t0:.1f}s; timing")
     times = []
-    for i in range(3):
+    for i in range(repeats):
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)
@@ -178,6 +185,44 @@ def _probe_device(timeout_s: float = 600.0) -> None:
         sys.exit(1)
 
 
+def _quality_canary() -> dict:
+    """Deterministic masked PSNR/SSIM regression canary (latent space,
+    random-init SDXL, fixed seed): the value is meaningless as absolute
+    quality but any cross-round drift flags an unintended numerics change.
+    LPIPS (pixel space, real VGG weights) lives in examples/common.report
+    behind LANPAINT_LPIPS_VGG — one flag the day weights exist."""
+    from lanpaint_tpu.quality import masked_psnr, masked_ssim
+
+    from lanpaint_tpu import LanPaintConfig, LanPaintSampler
+    from lanpaint_tpu.models.unet import SDXL_CONFIG
+    from lanpaint_tpu.models.zoo import build_unet
+    from lanpaint_tpu.sigmas import calculate_sigmas
+
+    den, _ = build_unet(SDXL_CONFIG, init_hw=32, name="sdxl-quality")
+    hw = 64  # 512px latent — the canary needs determinism, not scale
+    yy, xx = np.mgrid[0:hw, 0:hw].astype(np.float32)
+    orig = np.stack([np.sin(xx / 9.0), np.cos(yy / 7.0),
+                     np.sin((xx + yy) / 11.0), np.cos((xx - yy) / 13.0)])
+    latent = jnp.asarray(orig[None])
+    mask = np.zeros((hw * 8, hw * 8), np.float32)
+    mask[hw * 2:hw * 6, hw * 2:hw * 6] = 1.0
+    cond = {"context": jnp.zeros((1, 77, 2048), jnp.float32),
+            "y": jnp.zeros((1, 2816), jnp.float32)}
+    sigmas = jnp.asarray(calculate_sigmas(den.sigma_table, "karras", 6))
+    sam = LanPaintSampler(den, config=LanPaintConfig(n_steps=2),
+                          sampler_name="euler", cfg=1.0, sequential_cfg=True)
+    out, _ = sam(latent=latent, sigmas=sigmas, cond=cond, mask=jnp.asarray(mask),
+                 seed=0)
+    m = jnp.asarray(np.asarray(
+        jax.image.resize(jnp.asarray(mask), (hw, hw), "nearest")))
+    return {
+        "psnr_masked": round(float(masked_psnr(latent, out, m)), 4),
+        "ssim_masked": round(float(masked_ssim(latent, out, m)), 4),
+        "note": "regression canary (random weights, latent space); "
+                "LPIPS: LANPAINT_LPIPS_VGG + examples/common.report",
+    }
+
+
 def main():
     _probe_device()
     secs = _time_path(fused=False)
@@ -192,12 +237,39 @@ def main():
         "model_tflops": SDXL_FWD_TFLOPS_B1,
         "mfu": round(FORWARDS * SDXL_FWD_TFLOPS_B1 / (secs * V5E_PEAK_TFLOPS), 4),
         "fused": False,
-        "fused_delta_s": 0.88,  # measured 2026-08-17: 15.91 fused vs 15.03
+        "qkv_fused": True,
     }
     if os.environ.get("LANPAINT_BENCH_FUSED") == "1":
+        # fused Pallas pointwise path: measured in the SAME run or not at
+        # all — never a replayed dated constant (VERDICT r2 item 5)
         secs_fused = _time_path(fused=True)
         result["fused_delta_s"] = round(secs_fused - secs, 3)
         result["fused_seconds"] = round(secs_fused, 3)
+    else:
+        result["fused_delta_s_note"] = (
+            "not measured this run; LANPAINT_BENCH_FUSED=1 measures both "
+            "paths live (2026-08-17 measurement was +0.88 s — the reason "
+            "use_fused_kernels defaults off)")
+    if os.environ.get("LANPAINT_BENCH_QKV") == "1":
+        # lever measurement: unfused-QKV layout of the same program
+        secs_unfused = _time_path(fused=False, fused_qkv=False)
+        result["qkv_unfused_seconds"] = round(secs_unfused, 3)
+        result["qkv_fusion_delta_s"] = round(secs - secs_unfused, 3)
+    if os.environ.get("LANPAINT_BENCH_B4") != "0":
+        # serving-batch throughput: B=4 data-parallel lanes on the one chip
+        # (the serve.py batcher's shape, serve.py:314) — amortizes weight
+        # reads over 4 lanes, lifting GEMM efficiency
+        secs_b4 = _time_path(fused=False, batch=4, repeats=2)
+        result["throughput_b4"] = {
+            "seconds": round(secs_b4, 3),
+            "images_per_min": round(4 * 60.0 / secs_b4, 2),
+            "mfu": round(4 * FORWARDS * SDXL_FWD_TFLOPS_B1
+                         / (secs_b4 * V5E_PEAK_TFLOPS), 4),
+            "speedup_vs_4x_b1": round(4 * secs / secs_b4, 2),
+        }
+    if os.environ.get("LANPAINT_BENCH_QUALITY") == "1":
+        log("bench: quality canary")
+        result["quality"] = _quality_canary()
     if os.environ.get("LANPAINT_BENCH_SELFTEST") != "0":
         log("bench: running on-chip Pallas/attention selftest")
         result["tpu_selftest"] = _tpu_selftest()

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import ksampler
 from lanpaint_tpu.models.dit import ANIMA_CONFIG, TINY_DIT_CONFIG
-from lanpaint_tpu.models.load import import_dit, load_safetensors
+from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_anima, build_tiny_dit
 
 
@@ -20,7 +20,8 @@ def main():
     args = example_argparser("Anima LanPaint inpainting").parse_args()
     if args.checkpoint:
         cfg = ANIMA_CONFIG
-        params = import_dit(load_safetensors(args.checkpoint), cfg)
+        params = import_dit_guarded(load_safetensors(args.checkpoint), cfg,
+                                    family="anima")
         model, _ = build_anima(params)
         b, hw = 1, 128
         cond = {"context": jnp.zeros((b, 256, cfg.context_dim), jnp.float32)}

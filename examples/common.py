@@ -61,13 +61,23 @@ def report(name: str, out, original=None, mask=None,
            lpips_params=None) -> None:
     """Print output stats; with `original` + `mask` also the masked-region
     quality metrics (lanpaint_tpu.quality) — pass `lpips_params`
-    (quality.load_lpips_params) for the LPIPS north-star metric."""
+    (quality.load_lpips_params) for the LPIPS north-star metric.
+
+    One-flag LPIPS: set LANPAINT_LPIPS_VGG=/path/to/vgg16.pth (optionally
+    LANPAINT_LPIPS_LIN=/path/to/lpips_vgg.pth for the trained linear heads)
+    and every example that reports with original+mask on 3-channel images
+    also prints the masked LPIPS — the BASELINE.json "masked-region LPIPS
+    within 1%" harness, live the day real weights exist on the machine."""
     o = np.asarray(out, np.float32)
     line = (f"{name}: output {o.shape}, finite={np.isfinite(o).all()}, "
             f"mean={o.mean():.4f}, std={o.std():.4f}")
     if original is not None and mask is not None:
-        from lanpaint_tpu.quality import quality_report
+        from lanpaint_tpu.quality import load_lpips_params, quality_report
 
+        vgg = os.environ.get("LANPAINT_LPIPS_VGG")
+        if lpips_params is None and vgg and o.shape[1] == 3:
+            lpips_params = load_lpips_params(
+                vgg, os.environ.get("LANPAINT_LPIPS_LIN"))
         q = quality_report(original, out, mask, lpips_params=lpips_params)
         line += " | " + ", ".join(f"{k}={v:.4f}" for k, v in q.items())
     print(line)

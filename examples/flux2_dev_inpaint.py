@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import sample_custom_advanced
 from lanpaint_tpu.models.dit import FLUX2_DEV_CONFIG, TINY_DIT_CONFIG
-from lanpaint_tpu.models.load import import_dit, load_safetensors
+from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_flux2_dev, build_tiny_dit
 from lanpaint_tpu.sigmas import calculate_sigmas
 
@@ -21,7 +21,8 @@ def main():
     args = example_argparser("Flux.2-dev LanPaint inpainting").parse_args()
     if args.checkpoint:
         cfg = FLUX2_DEV_CONFIG
-        params = import_dit(load_safetensors(args.checkpoint), cfg)
+        params = import_dit_guarded(load_safetensors(args.checkpoint), cfg,
+                                    family="flux2-dev")
         model, _ = build_flux2_dev(params)
         b, hw = 1, 128
         cond = {"context": jnp.zeros((b, 512, cfg.context_dim), jnp.float32),

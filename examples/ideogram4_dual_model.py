@@ -24,9 +24,43 @@ from lanpaint_tpu.sigmas import calculate_sigmas
 
 def main():
     p = example_argparser("Ideogram4 dual-model LanPaint inpainting")
+    p.add_argument("--checkpoint-uncond", default=None,
+                   help="the paired unconditional-model safetensors")
     args = p.parse_args()
 
-    # conditional + unconditional experts (plug real checkpoints here)
+    if args.checkpoint:
+        # the census guard fails loudly when the stand-in topology does not
+        # describe the real release (docs/family_facts.md)
+        from lanpaint_tpu.models.dit import IDEOGRAM4_CONFIG
+        from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
+        from lanpaint_tpu.models.zoo import build_dit
+
+        cfg = IDEOGRAM4_CONFIG
+        positive_model, _ = build_dit(
+            cfg, import_dit_guarded(load_safetensors(args.checkpoint), cfg,
+                                    family="ideogram4"),
+            shift=1.0, is_flux=False, name="ideogram4")
+        negative_model, _ = build_dit(
+            cfg, import_dit_guarded(load_safetensors(args.checkpoint_uncond),
+                                    cfg, family="ideogram4-uncond"),
+            shift=1.0, is_flux=False, name="ideogram4-uncond")
+        model = dual_model_denoiser(positive_model, negative_model,
+                                    name="ideogram4-dual")
+        b, hw = 1, 128
+        cond = {"context": jnp.zeros((b, 77, cfg.context_dim), jnp.float32)}
+        neg = dict(cond, model_select=jnp.ones(()))
+        latent = jnp.zeros((b, model.latent_channels, hw, hw), jnp.float32)
+        mask = center_square_mask(hw * 8, hw * 8)
+        sigmas = jnp.asarray(calculate_sigmas(model.sigma_table, "simple", 20))
+        out, _ = sample_custom_advanced(
+            model, noise_seed=args.seed, cfg=4.0, positive=cond, negative=neg,
+            sampler_name="euler", sigmas=sigmas, latent=latent, mask=mask,
+            num_steps=5, lamb=16.0, step_size=0.2, sequential_cfg=True,
+        )
+        report("ideogram4_dual_model", out)
+        return
+
+    # smoke mode: tiny conditional + unconditional experts
     positive_model, _ = build_tiny_dit(seed=0)
     negative_model, _ = build_tiny_dit(seed=1)
     model = dual_model_denoiser(positive_model, negative_model,

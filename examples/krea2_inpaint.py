@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import ksampler
 from lanpaint_tpu.models.dit import KREA2_CONFIG, TINY_DIT_CONFIG
-from lanpaint_tpu.models.load import import_dit, load_safetensors
+from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_krea2, build_tiny_dit
 
 
@@ -19,7 +19,8 @@ def main():
     args = example_argparser("Krea2 LanPaint inpainting").parse_args()
     if args.checkpoint:
         cfg = KREA2_CONFIG
-        params = import_dit(load_safetensors(args.checkpoint), cfg)
+        params = import_dit_guarded(load_safetensors(args.checkpoint), cfg,
+                                    family="krea2")
         model, _ = build_krea2(params)
         b, hw = 1, 128
         cond = {"context": jnp.zeros((b, 512, cfg.context_dim), jnp.float32)}

@@ -64,6 +64,7 @@ class LanPaintSampler:
         callback: Optional[Callable] = None,
         pre_cfg_fns: Optional[list] = None,
         sequential_cfg: bool = False,
+        return_aux: bool = False,
     ):
         # callback(i, denoised, x) fires per outer step from inside the
         # compiled scan via jax.debug.callback (host round-trip; preview use
@@ -84,6 +85,15 @@ class LanPaintSampler:
         # one 2B-sized): same math; halves peak activation memory.  Use for
         # large-token video models — see guidance.make_cfg_double_denoiser.
         self.sequential_cfg = sequential_cfg
+        # Surface the think-loop diagnostics (engine.ThinkAux): __call__
+        # returns (samples, denoised, aux) where aux.steps_done[i] is the
+        # Langevin iterations actually spent at outer step i and aux.trace
+        # the per-inner-step semantic-stop rows — the user-reachable
+        # equivalent of the reference's
+        # model_options["lanpaint_semantic_trace"] (earlystop.py:315-334).
+        # Pair with LanPaintConfig(record_trace=True) to fill trace rows
+        # even when the stopper is disabled.
+        self.return_aux = return_aux
         # Pin weights on device ONCE.  Host (numpy) params passed per call
         # re-upload the full weight tree every invocation — measured 11.2 s
         # vs 0.156 s per SDXL forward through the TPU tunnel.
@@ -129,17 +139,20 @@ class LanPaintSampler:
             step = jnp.argmin(jnp.abs(sigmas - sigma)) + step_offset
             n = jnp.where(total_steps - step <= cfg_.outer_early_stop, 0,
                           cfg_.n_steps)
-            out, x_new, _aux = lanpaint_update(
+            out, x_new, aux = lanpaint_update(
                 denoise, x, latent_image=latent, noise=think_noise,
                 latent_mask=latent_mask, sigma=sigma_b, times=times,
                 n_steps=n, config=cfg_, kind=kind, key=k,
             )
+            if self.return_aux:
+                return out, x_new, aux
             return out, x_new
 
         return samplers.sample(
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
             callback=self.callback, tables=tables, step_offset=step_offset,
             carry_in=carry_in, return_carry=True,
+            collect_aux=self.return_aux,
         )
 
     def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables,
@@ -222,13 +235,13 @@ class LanPaintSampler:
         total = int(sigmas.shape[0]) - 1
         denoise_mask = (None if mask is None
                         else prepare_mask(mask, latent.shape, video))
-        if chunk_steps is not None and self.sampler_name in (
-                "dpm_fast", "heunpp2"):
+        if chunk_steps is not None and self.sampler_name == "dpm_fast":
             raise ValueError(
-                f"chunk_steps is not supported with {self.sampler_name}: "
-                "its update reads the full sigma ladder (dpm_fast order "
-                "groups / heunpp2 sigma0+s_end weights), so a segment-local "
-                "ladder silently changes the algorithm")
+                "chunk_steps is not supported with dpm_fast: its order-3/2/1 "
+                "step grouping spans the whole ladder, so a segment-local "
+                "ladder silently changes the algorithm.  (heunpp2 IS "
+                "chunk-safe: its three full-ladder scalars ride the "
+                "prepare_tables('heunpp2') per-step rows.)")
         chunk = total if not chunk_steps else max(1, int(chunk_steps))
         if total <= 0:
             return (inverse_noise_scaling(kind, sigmas[-1:], x_init),
@@ -254,6 +267,7 @@ class LanPaintSampler:
         x = x_init
         carry = samplers.init_carry(x_init)
         den_parts = []
+        aux_parts = []
         # deis coefficients come from the FULL ladder (then sliced per
         # segment) so chunked launches see the same per-step rows as the
         # single launch — segment-local ladders would re-taper the order.
@@ -271,11 +285,23 @@ class LanPaintSampler:
                     params, x, think_noise, seg, latent, denoise_mask, cond,
                     uncond, k_solve, tables, jnp.int32(start),
                     jnp.int32(total), carry)
+                if self.return_aux:
+                    den, aux = den
+                    aux_parts.append(aux)
             den_parts.append(den)
 
         samples = inverse_noise_scaling(kind, sigmas[-1:], x)
         den_all = (den_parts[0] if len(den_parts) == 1
                    else jnp.concatenate(den_parts, axis=0))
+        if self.return_aux:
+            # per-outer-step ThinkAux (None on the plain/no-mask path —
+            # there is no think loop to report on)
+            aux_all = None
+            if aux_parts:
+                aux_all = (aux_parts[0] if len(aux_parts) == 1 else
+                           jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                                        *aux_parts))
+            return samples, den_all, aux_all
         return samples, den_all
 
 
@@ -289,7 +315,8 @@ _SAMPLER_CACHE: dict = {}
 def _cached_sampler(model: Denoiser, config: LanPaintConfig,
                     sampler_name: str, cfg: float, prompt_mode: str,
                     sequential_cfg: bool = False,
-                    with_callback: bool = False) -> LanPaintSampler:
+                    with_callback: bool = False,
+                    return_aux: bool = False) -> LanPaintSampler:
     """Memoize LanPaintSampler per (model, static hyperparameters).
 
     The node-style entry points (ksampler etc.) are called per request;
@@ -312,7 +339,7 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
     key = (id(model), id(model.params), _dc.astuple(
         _dc.replace(config, distance_fn=None)), config.distance_fn,
         sampler_name, float(cfg), prompt_mode, sequential_cfg,
-        with_callback)
+        with_callback, return_aux)
     # LRU: a hit re-inserts at the end so a serving mix of >8 variants
     # evicts the coldest compiled program, not the hottest.
     sam = _SAMPLER_CACHE.pop(key, None)
@@ -326,7 +353,8 @@ def _cached_sampler(model: Denoiser, config: LanPaintConfig,
                     cb(i, den, x)
         sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
                               cfg=cfg, prompt_mode=prompt_mode,
-                              sequential_cfg=sequential_cfg, callback=tramp)
+                              sequential_cfg=sequential_cfg, callback=tramp,
+                              return_aux=return_aux)
         sam._cb_holder = holder
     _SAMPLER_CACHE[key] = sam
     # Bounded: each entry pins a device-resident weight copy; evict the
@@ -362,27 +390,51 @@ def ksampler(
     sequential_cfg: bool = False,
     noise: Optional[jnp.ndarray] = None,
     callback: Optional[Callable] = None,
+    trace: Optional[dict] = None,
 ):
     """LanPaint_KSampler equivalent: simple API with reference defaults
     (StepSize=0.2, Lambda=16, Beta=1, Friction=15, EarlyStop=1;
     reference nodes.py:329-336).  `noise` overrides the seed-derived
     initial noise (e.g. per-lane seeded noise in a served batch);
     `callback(i, denoised, x)` fires per outer step (preview/progress —
-    costs a host sync per step, so the no-callback program stays clean)."""
-    config = LanPaintConfig(n_steps=num_steps)
+    costs a host sync per step, so the no-callback program stays clean).
+
+    `trace`: pass a dict to receive the think-loop diagnostics — filled
+    with "steps_done" (int array, Langevin iterations actually spent per
+    outer step) and "trace" ((steps, n_max, 8) float array of per-inner-step
+    rows: [inner_step, dist, dist_inpaint, dist_ring, dist_drift, threshold,
+    patience, stopped]).  The user-reachable equivalent of the reference's
+    model_options["lanpaint_semantic_trace"] (earlystop.py:315-334)."""
+    config = LanPaintConfig(n_steps=num_steps, record_trace=trace is not None)
     sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
-                          sequential_cfg, with_callback=callback is not None)
+                          sequential_cfg, with_callback=callback is not None,
+                          return_aux=trace is not None)
     sigmas = _build_sigmas(model, scheduler, steps, denoise)
     if callback is not None:
         sam._cb_holder["cb"] = callback
     try:
-        samples, _ = sam(latent=latent, sigmas=sigmas, cond=positive,
-                         uncond=negative, mask=mask, seed=seed, video=video,
-                         chunk_steps=chunk_steps, noise=noise)
+        out = sam(latent=latent, sigmas=sigmas, cond=positive,
+                  uncond=negative, mask=mask, seed=seed, video=video,
+                  chunk_steps=chunk_steps, noise=noise)
     finally:
         if callback is not None:
             sam._cb_holder["cb"] = None
+    if trace is not None:
+        samples, _, aux = out
+        _fill_trace(trace, aux)
+        return samples
+    samples, _ = out
     return samples
+
+
+def _fill_trace(trace: dict, aux) -> None:
+    """Materialize a ThinkAux into a user-supplied trace dict (host numpy)."""
+    if aux is None:
+        trace["steps_done"] = None
+        trace["trace"] = None
+        return
+    trace["steps_done"] = np.asarray(aux.steps_done)
+    trace["trace"] = np.asarray(aux.trace)
 
 
 def ksampler_advanced(
@@ -413,13 +465,17 @@ def ksampler_advanced(
     video: bool = False,
     chunk_steps: Optional[int] = None,
     sequential_cfg: bool = False,
+    trace: Optional[dict] = None,
 ):
     """LanPaint_KSamplerAdvanced equivalent: full hyperparameter surface
-    (reference nodes.py:350-413)."""
+    (reference nodes.py:350-413).  `trace`: see `ksampler` — with
+    inner_threshold > 0 the rows also show the semantic stopper's
+    patience/stop decisions."""
     config = LanPaintConfig(
         n_steps=num_steps, lamb=lamb, step_size=step_size, beta=beta,
         friction=friction, outer_early_stop=early_stop,
         inner_threshold=inner_threshold, inner_patience=inner_patience,
+        record_trace=trace is not None,
     )
     sigmas = np.asarray(calculate_sigmas(model.sigma_table, scheduler, steps))
     last = min(end_at_step, steps)
@@ -429,11 +485,16 @@ def ksampler_advanced(
     if not return_with_leftover_noise:
         sigmas[-1] = 0.0
     sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
-                          sequential_cfg)
-    samples, _ = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
-                     uncond=negative, mask=mask, seed=noise_seed,
-                     add_noise=add_noise, video=video,
-                     chunk_steps=chunk_steps)
+                          sequential_cfg, return_aux=trace is not None)
+    out = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
+              uncond=negative, mask=mask, seed=noise_seed,
+              add_noise=add_noise, video=video,
+              chunk_steps=chunk_steps)
+    if trace is not None:
+        samples, _, aux = out
+        _fill_trace(trace, aux)
+        return samples
+    samples, _ = out
     return samples
 
 

@@ -284,7 +284,12 @@ def lanpaint_update(
         return c, x0_eff
 
     # ---- semantic early stop precomputation (device-side) ----
-    semantic = config.semantic_stop_possible
+    # `record_trace` computes (and records) the stop metrics even when the
+    # stop itself is disabled (threshold 0) — the device-side equivalent of
+    # supplying model_options["lanpaint_semantic_trace"] to the reference
+    # (earlystop.py:121-131): trace rows are appended regardless of whether
+    # the stopper fires.  stop_enabled still requires threshold > 0.
+    semantic = config.semantic_stop_possible or config.record_trace
     w_inpaint = (1.0 - mask).astype(jnp.float32)
     w_ring = boundary_ring_weight(mask, w_inpaint) if semantic else None
     if semantic:

@@ -93,6 +93,7 @@ class ControlNet(nn.Module):
                     h = SpatialTransformer(
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
+                        fused=cfg.fused_qkv,
                         name=f"down_{level}_{i}_attn")(h, context)
                 outs.append(zero_conv(h, len(outs)))
             if level != len(cfg.channel_mult) - 1:
@@ -104,7 +105,8 @@ class ControlNet(nn.Module):
         if cfg.transformer_depth_middle > 0:
             h = SpatialTransformer(ch, cfg.context_dim, self._heads(ch),
                                    depth=cfg.transformer_depth_middle,
-                                   dtype=cfg.dtype, name="mid_attn")(h, context)
+                                   dtype=cfg.dtype, fused=cfg.fused_qkv,
+                                   name="mid_attn")(h, context)
         h = ResBlock(ch, dtype=cfg.dtype, name="mid_res2")(h, emb)
         mid = nn.Conv(ch, (1, 1), dtype=cfg.dtype,
                       kernel_init=nn.initializers.zeros,

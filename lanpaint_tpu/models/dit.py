@@ -59,7 +59,10 @@ QWEN_IMAGE_CONFIG = DiTConfig(
     hidden=3072, num_heads=24, depth_double=60, depth_single=0,
     context_dim=3584, vec_dim=0, guidance_embed=False, txt_norm=True,
 )
-# Z-Image: compact single-stream-heavy flow DiT.
+# Z-Image: SUPERSEDED in r3 by the real S3-DiT graph (models/zimage.py,
+# the Lumina2/NextDiT layout the reference's Z_image workflows load —
+# manifest-tested, load.import_zimage).  This generic-MMDiT config remains
+# only as a structural fallback.
 Z_IMAGE_CONFIG = DiTConfig(
     hidden=2304, num_heads=18, depth_double=6, depth_single=30,
     context_dim=2560, vec_dim=0, guidance_embed=False,
@@ -98,6 +101,14 @@ KREA2_CONFIG = DiTConfig(
 ANIMA_CONFIG = DiTConfig(
     hidden=2048, num_heads=16, depth_double=8, depth_single=24,
     context_dim=1024, vec_dim=0, guidance_embed=False,
+)
+# Ideogram 4 (reference Ideogram4_LanPaint_Inpaint.json: dual
+# conditional/unconditional checkpoints through DualModelGuider, Qwen3-VL-8B
+# text features (4096-wide), flux2-vae, Ideogram4Scheduler): stand-in —
+# both models' real topologies are offline-unknown (docs/family_facts.md).
+IDEOGRAM4_CONFIG = DiTConfig(
+    hidden=3072, num_heads=24, depth_double=8, depth_single=30,
+    context_dim=4096, vec_dim=0, guidance_embed=False,
 )
 # "Hunyuan" (reference example_workflows/Hunyuan_Inpaint.json) is the
 # HunyuanVideo T2V DiT sampled single-frame — real architecture in

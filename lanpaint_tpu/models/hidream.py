@@ -1,23 +1,32 @@
 """HiDream-I1 MoE-MMDiT backbone (flow-matching family).
 
 The "HiDream" row of the reference's supported-model matrix (reference
-README.md:131-139).  Public HiDream-I1 topology: double-stream blocks
-(separate image/text weights, joint attention) followed by single-stream
-blocks, per-head RMS QK-norm, AdaLN modulation from timestep+pooled vec,
-and — the family's distinguishing component — SwiGLU **mixture-of-experts**
-feed-forwards (shared expert + top-k of `num_experts` routed experts) with
-per-block Llama-encoder text injection alongside a carried T5 stream.
+README.md:131-139).  Structure follows the public HiDream-I1 transformer
+(HiDream-ai/HiDream-I1 `transformer_hidream_image.py`, the layout the
+ComfyUI host loads through UNETLoader):
+
+* double-stream blocks: separate image/text projections (`to_q` vs
+  `to_q_t`), joint attention over [txt; llama_i; img], ONE fused 12-chunk
+  adaLN per block (6 img + 6 txt), image-stream SwiGLU **mixture of
+  experts** (shared expert + top-k of `num_experts` routed) and a plain
+  SwiGLU on the text stream;
+* single-stream blocks over the concatenated stream, 6-chunk adaLN, MoE FF;
+* per-block text injection: caption_projection.{i} projects one Llama
+  hidden-state slice for EVERY double and single block (appended to the
+  token stream for that block only, then stripped); the LAST caption
+  projection maps the carried T5 stream;
+* full-width (not per-head) RMS q/k normalization.
 
 TPU-first choices: experts are evaluated densely as one stacked einsum and
 combined with the (renormalized) top-k routing weights — with 4 routed
 experts this keeps every FLOP on the MXU with zero gather/scatter dispatch,
 and is exactly equivalent to sparse dispatch.  Depth is scanned; the
-per-block Llama slices ride the scan's per-iteration xs.
+per-block projected Llama slices ride the scan's per-iteration xs, and the
+caption projections are evaluated OUTSIDE the scans as two stacked einsums.
 
-Offline caveat: real-checkpoint key fidelity is unverifiable in this
-environment (no weights); the mapping in models/load.py is bijective for
-this module tree and roundtrip-tested, with key names following the public
-layout where known (docs/parity.md tracks this).
+Key-layout fidelity: tests/manifests.py::hidream_manifest reproduces the
+public state-dict layout independently; tests/test_manifests.py asserts
+load.import_hidream consumes exactly that key set.
 """
 
 from __future__ import annotations
@@ -29,7 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import MLPEmbedder, QKNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+from .layers import MLPEmbedder, RMSNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,7 +49,7 @@ class HiDreamConfig:
     num_heads: int = 20
     depth_double: int = 16
     depth_single: int = 32
-    ffn_dim: int = 6912            # SwiGLU inner width
+    ffn_dim: int = 6912            # SwiGLU inner width (2/3*4h rounded to 256)
     num_experts: int = 4
     num_activated: int = 2
     context_dim: int = 4096        # T5-XXL features
@@ -88,7 +97,9 @@ class MoEFeedForward(nn.Module):
     and evaluated for every token in one einsum, then combined with the
     renormalized top-k softmax gate.  At E=4/k=2 this is 2x the activated
     FLOPs but runs entirely on the MXU with no token dispatch — measured
-    faster on TPU than gather/scatter routing at these widths.
+    faster on TPU than gather/scatter routing at these widths.  Public
+    per-expert tensors (`experts.{j}.w1` ...) stack into the (E, ...)
+    weights on import (load.import_hidream).
     """
 
     cfg: HiDreamConfig
@@ -125,6 +136,10 @@ class MoEFeedForward(nn.Module):
 
 
 class _Modulation(nn.Module):
+    """SiLU -> Linear producing n fused adaLN chunks (public
+    `adaLN_modulation.1`: ONE Linear per block — 12-chunk for double
+    blocks, 6 for single)."""
+
     hidden: int
     n: int
     dtype: jnp.dtype = jnp.float32
@@ -148,36 +163,40 @@ def _ln(x, eps=1e-6):
 
 
 class HiDreamDoubleBlock(nn.Module):
-    """img/txt dual-stream block with joint attention and MoE FF (img)."""
+    """img/txt dual-stream block with joint attention and MoE FF (img).
+
+    `llama` arrives already projected to hidden width (caption_projection
+    runs outside the scan); it is appended to the carried txt for this
+    block only and stripped afterwards — the public per-block injection.
+    """
 
     cfg: HiDreamConfig
 
     @nn.compact
-    def __call__(self, img, txt, vec, pe, llama_tokens):
+    def __call__(self, img, txt, vec, pe, llama):
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.head_dim
 
-        im = _Modulation(cfg.hidden, 6, dtype=cfg.dtype, name="img_mod")(vec)
-        tm = _Modulation(cfg.hidden, 6, dtype=cfg.dtype, name="txt_mod")(vec)
+        mods = _Modulation(cfg.hidden, 12, dtype=cfg.dtype,
+                           name="adaLN_modulation")(vec)
+        im, tm = mods[:6], mods[6:]
 
-        # per-block Llama injection: fresh tokens appended to the carried txt
-        lt = nn.Dense(cfg.hidden, dtype=cfg.dtype,
-                      name="llama_proj")(llama_tokens.astype(cfg.dtype))
-        txt_full = jnp.concatenate([txt, lt], axis=1)
+        txt_full = jnp.concatenate([txt, llama.astype(txt.dtype)], axis=1)
 
-        def qkv(x, prefix):
-            q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"{prefix}_q")(x)
-            k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"{prefix}_k")(x)
-            v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"{prefix}_v")(x)
+        def qkv(x, suffix):
+            q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"to_q{suffix}")(x)
+            k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"to_k{suffix}")(x)
+            v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name=f"to_v{suffix}")(x)
+            # full-width RMS q/k norm (public q_rms_norm: RMSNorm(inner_dim))
+            q = RMSNorm(cfg.hidden, name=f"q_rms_norm{suffix}")(q)
+            k = RMSNorm(cfg.hidden, name=f"k_rms_norm{suffix}")(k)
             b, s, _ = q.shape
-            q, k, v = (t.reshape(b, s, h, d) for t in (q, k, v))
-            q, k = QKNorm(d, name=f"{prefix}_qknorm")(q, k)
-            return q, k, v
+            return (t.reshape(b, s, h, d) for t in (q, k, v))
 
         img_n = _modulate(_ln(img), im[0], im[1]).astype(cfg.dtype)
         txt_n = _modulate(_ln(txt_full), tm[0], tm[1]).astype(cfg.dtype)
-        iq, ik, iv = qkv(img_n, "img_attn")
-        tq, tk, tv = qkv(txt_n, "txt_attn")
+        iq, ik, iv = qkv(img_n, "")
+        tq, tk, tv = qkv(txt_n, "_t")
         q = jnp.concatenate([tq, iq], axis=1)
         k = jnp.concatenate([tk, ik], axis=1)
         v = jnp.concatenate([tv, iv], axis=1)
@@ -190,54 +209,61 @@ class HiDreamDoubleBlock(nn.Module):
         txt_a, img_a = attn[:, :n_txt], attn[:, n_txt:]
 
         img = img + im[2] * nn.Dense(cfg.hidden, dtype=cfg.dtype,
-                                     name="img_attn_proj")(img_a)
+                                     name="to_out")(img_a)
         img_n2 = _modulate(_ln(img), im[3], im[4]).astype(cfg.dtype)
-        img = img + im[5] * MoEFeedForward(cfg, name="img_moe")(img_n2)
+        img = img + im[5] * MoEFeedForward(cfg, name="ff_i")(img_n2)
 
         # carried txt stream keeps only the persistent (T5) tokens
         txt_keep = txt_a[:, :txt.shape[1]]
         txt = txt + tm[2] * nn.Dense(cfg.hidden, dtype=cfg.dtype,
-                                     name="txt_attn_proj")(txt_keep)
+                                     name="to_out_t")(txt_keep)
         txt_n2 = _modulate(_ln(txt), tm[3], tm[4]).astype(cfg.dtype)
         txt = txt + tm[5] * SwiGLU(cfg.ffn_dim, cfg.hidden, dtype=cfg.dtype,
-                                   name="txt_ff")(txt_n2)
+                                   name="ff_t")(txt_n2)
         return img, txt
 
 
 class HiDreamSingleBlock(nn.Module):
-    """single-stream block over [txt; img] with MoE FF."""
+    """single-stream block with per-block llama append (public behavior:
+    tokens concatenated before the block, stripped after) and MoE FF."""
 
     cfg: HiDreamConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe):
+    def __call__(self, x, vec, pe, llama):
         cfg = self.cfg
         h, d = cfg.num_heads, cfg.head_dim
-        m = _Modulation(cfg.hidden, 6, dtype=cfg.dtype, name="mod")(vec)
-        xn = _modulate(_ln(x), m[0], m[1]).astype(cfg.dtype)
-        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="attn_q")(xn)
-        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="attn_k")(xn)
-        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="attn_v")(xn)
+        n_keep = x.shape[1]
+        x_full = jnp.concatenate([x, llama.astype(x.dtype)], axis=1)
+        m = _Modulation(cfg.hidden, 6, dtype=cfg.dtype,
+                        name="adaLN_modulation")(vec)
+        xn = _modulate(_ln(x_full), m[0], m[1]).astype(cfg.dtype)
+        q = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="to_q")(xn)
+        k = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="to_k")(xn)
+        v = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="to_v")(xn)
+        q = RMSNorm(cfg.hidden, name="q_rms_norm")(q)
+        k = RMSNorm(cfg.hidden, name="k_rms_norm")(k)
         b, s, _ = q.shape
         q, k, v = (t.reshape(b, s, h, d) for t in (q, k, v))
-        q, k = QKNorm(d, name="attn_qknorm")(q, k)
         q = apply_rope(q, pe)
         k = apply_rope(k, pe)
         attn = attention_bshd(q, k, v, impl=cfg.attention_impl)
-        x = x + m[2] * nn.Dense(cfg.hidden, dtype=cfg.dtype,
-                                name="attn_proj")(attn.reshape(b, s, cfg.hidden))
-        xn2 = _modulate(_ln(x), m[3], m[4]).astype(cfg.dtype)
-        return x + m[5] * MoEFeedForward(cfg, name="moe")(xn2)
+        x_full = x_full + m[2] * nn.Dense(
+            cfg.hidden, dtype=cfg.dtype,
+            name="to_out")(attn.reshape(b, s, cfg.hidden))
+        xn2 = _modulate(_ln(x_full), m[3], m[4]).astype(cfg.dtype)
+        x_full = x_full + m[5] * MoEFeedForward(cfg, name="ff_i")(xn2)
+        return x_full[:, :n_keep]
 
 
 class _ScanHiDouble(nn.Module):
     cfg: HiDreamConfig
 
     @nn.compact
-    def __call__(self, carry, vec, pe, llama_tokens):
+    def __call__(self, carry, vec, pe, llama):
         img, txt = carry
         img, txt = HiDreamDoubleBlock(self.cfg, name="block")(
-            img, txt, vec, pe, llama_tokens)
+            img, txt, vec, pe, llama)
         return (img, txt), None
 
 
@@ -245,17 +271,19 @@ class _ScanHiSingle(nn.Module):
     cfg: HiDreamConfig
 
     @nn.compact
-    def __call__(self, x, vec, pe):
-        x = HiDreamSingleBlock(self.cfg, name="block")(x, vec, pe)
+    def __call__(self, x, vec, pe, llama):
+        x = HiDreamSingleBlock(self.cfg, name="block")(x, vec, pe, llama)
         return x, None
 
 
 class HiDreamModel(nn.Module):
     """__call__(x_nchw, t, context, vec, llama) -> velocity prediction.
 
-    `context`: (B, S_t5, context_dim) carried T5 stream.
-    `llama`:   (L, B, S_ll, llama_dim) per-layer Llama features; double
-               block i consumes slice i % L (rides the scan xs).
+    `context`: (B, S_t5, context_dim) carried T5 stream (projected by the
+               LAST caption projection, public caption_projection[-1]).
+    `llama`:   (L, B, S_ll, llama_dim) per-layer Llama features; block i
+               (counting double then single) consumes slice i % L through
+               its own caption projection.
     """
 
     cfg: HiDreamConfig
@@ -267,9 +295,10 @@ class HiDreamModel(nn.Module):
         cfg = self.cfg
         b, c, hh, ww = x.shape
         img = pack_latent(x, cfg.patch).astype(cfg.dtype)
-        img = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="img_in")(img)
-        txt = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="txt_in")(
-            context.astype(cfg.dtype))
+        img = nn.Dense(cfg.hidden, dtype=cfg.dtype, name="x_embedder")(img)
+        # public caption_projection: bias-free TextProjection per consumer
+        txt = nn.Dense(cfg.hidden, use_bias=False, dtype=cfg.dtype,
+                       name="txt_in")(context.astype(cfg.dtype))
 
         v = MLPEmbedder(cfg.hidden, dtype=cfg.dtype, name="time_in")(
             timestep_embedding(t * 1000.0, 256).astype(cfg.dtype))
@@ -281,6 +310,20 @@ class HiDreamModel(nn.Module):
             llama = jnp.zeros((1, b, 1, cfg.llama_dim), jnp.float32)
         n_ll = llama.shape[2]
 
+        # per-block caption projections, evaluated OUTSIDE the scans as two
+        # stacked einsums (one for the double range, one for single)
+        idx_d = jnp.arange(cfg.depth_double) % llama.shape[0]
+        idx_s = (cfg.depth_double + jnp.arange(cfg.depth_single)) % llama.shape[0]
+        kd = self.param("cap_proj_double", nn.initializers.lecun_normal(),
+                        (cfg.depth_double, cfg.llama_dim, cfg.hidden),
+                        jnp.float32)
+        ks = self.param("cap_proj_single", nn.initializers.lecun_normal(),
+                        (cfg.depth_single, cfg.llama_dim, cfg.hidden),
+                        jnp.float32)
+        ll = llama.astype(cfg.dtype)
+        lp_d = jnp.einsum("dbsl,dlh->dbsh", ll[idx_d], kd.astype(cfg.dtype))
+        lp_s = jnp.einsum("dbsl,dlh->dbsh", ll[idx_s], ks.astype(cfg.dtype))
+
         # RoPE ids: [txt_t5 + llama; img] — text tokens at position 0
         n_txt = txt.shape[1] + n_ll
         txt_ids = jnp.zeros((b, n_txt, 3), jnp.int32)
@@ -288,29 +331,27 @@ class HiDreamModel(nn.Module):
         pe = rope_freqs(jnp.concatenate([txt_ids, img_ids], axis=1),
                         cfg.axes_dim, cfg.theta)
 
-        # stack per-double-block llama slices as scan xs
-        idx = jnp.arange(cfg.depth_double) % llama.shape[0]
-        llama_per_block = llama[idx]  # (depth_double, B, S_ll, D)
         scan_d = nn.scan(
             _ScanHiDouble, variable_axes={"params": 0},
             split_rngs={"params": True}, length=cfg.depth_double,
             in_axes=(nn.broadcast, nn.broadcast, 0),
         )
-        (img, txt), _ = scan_d(cfg, name="double")(
-            (img, txt), v, pe, llama_per_block)
+        (img, txt), _ = scan_d(cfg, name="double")((img, txt), v, pe, lp_d)
 
         xcat = jnp.concatenate([txt, img], axis=1)
-        # single-stream pe: carried txt (no llama slot) + img
+        # single-stream pe: carried txt + img + per-block llama (appended
+        # at the END inside the block)
         pe_s = rope_freqs(
             jnp.concatenate([jnp.zeros((b, txt.shape[1], 3), jnp.int32),
-                             image_ids(b, hh, ww, cfg.patch)], axis=1),
+                             image_ids(b, hh, ww, cfg.patch),
+                             jnp.zeros((b, n_ll, 3), jnp.int32)], axis=1),
             cfg.axes_dim, cfg.theta)
         scan_s = nn.scan(
             _ScanHiSingle, variable_axes={"params": 0},
             split_rngs={"params": True}, length=cfg.depth_single,
-            in_axes=(nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, 0),
         )
-        xcat, _ = scan_s(cfg, name="single")(xcat, v, pe_s)
+        xcat, _ = scan_s(cfg, name="single")(xcat, v, pe_s, lp_s)
         img = xcat[:, txt.shape[1]:]
 
         mod = nn.Dense(2 * cfg.hidden, dtype=cfg.dtype,

@@ -42,14 +42,20 @@ def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
 # ceiling at D=64 head width.
 FLASH_BLOCK = 1024
 
-# Unroll the scan-over-depth in SpatialTransformer?  Measured on v5e
-# (2026-08-18): the scanned while-loop costs ~11% of each depth-10
+# Unroll factor for the scan-over-depth in SpatialTransformer.  Measured
+# on v5e (2026-08-18): the scanned while-loop costs ~11% of each depth-10
 # transformer's device time in stacked-param dynamic-slices + loop-carry
-# copies, so unrolling looked attractive — but a fully-unrolled SDXL
-# forward did not finish COMPILING in 15 min (vs 112 s scanned) through
-# the TPU relay, which kills the whole program (the full-sampler compile
-# is ~6 min scanned).  Compile survival wins; keep the scan.
-UNROLL_DEPTH_SCAN = False
+# copies.  FULL unroll (factor = depth) did not finish COMPILING in 15 min
+# (vs 112 s scanned) through the TPU relay — compile survival wins, so the
+# only viable settings are small factors.  1 = plain scan (default);
+# LANPAINT_DEPTH_UNROLL overrides for measurement.  Measured end-to-end
+# on the 20x5think headline (2026-08-18, fused-QKV layout): unroll=2 =
+# 13.42 s vs unroll=1 = 12.20 s — a clear REGRESSION (the doubled body
+# grows the program without removing the per-iteration slices), so 1
+# stays the default and the lever is considered exhausted.
+import os as _os
+
+DEPTH_SCAN_UNROLL = int(_os.environ.get("LANPAINT_DEPTH_UNROLL", "1"))
 
 
 def _flash_block_sizes(s_padded: int, block: int):
@@ -172,21 +178,40 @@ class QKNorm(nn.Module):
 
 
 class CrossAttention(nn.Module):
-    """Self- or cross-attention used by the UNet spatial transformer."""
+    """Self- or cross-attention used by the UNet spatial transformer.
+
+    `fused` (the import-time QKV-fusion perf lever, docs/architecture.md):
+    self-attention projects q/k/v as ONE GEMM (`to_qkv`); cross-attention
+    keeps `to_q` and consumes a precomputed fused k/v tensor (`kv` argument,
+    hoisted out of the depth scan by SpatialTransformer).  Public checkpoint
+    keys stay split — load.fuse_unet_qkv concatenates them on import.
+    """
 
     query_dim: int
     context_dim: Optional[int] = None
     num_heads: int = 8
     head_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, kv=None):
         inner = self.num_heads * self.head_dim
-        context = x if context is None else context
-        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        if self.fused and self.context_dim is None:
+            qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                           name="to_qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.fused:
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            if kv is None:
+                kv = nn.Dense(inner * 2, use_bias=False, dtype=self.dtype,
+                              name="to_kv")(x if context is None else context)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            context = x if context is None else context
+            q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+            k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+            v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
         out = attention(q, k, v, num_heads=self.num_heads)
         return nn.Dense(self.query_dim, dtype=self.dtype, name="to_out")(out)
 
@@ -221,15 +246,18 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv=None):
         h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
         x = x + CrossAttention(self.dim, None, self.num_heads, self.head_dim,
-                               dtype=self.dtype, name="attn1")(h)
+                               dtype=self.dtype, fused=self.fused,
+                               name="attn1")(h)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
         x = x + CrossAttention(self.dim, self.context_dim, self.num_heads,
-                               self.head_dim, dtype=self.dtype, name="attn2")(h, context)
+                               self.head_dim, dtype=self.dtype,
+                               fused=self.fused, name="attn2")(h, context, kv=kv)
         h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
         return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
 
@@ -243,23 +271,35 @@ class _ScanBTB(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv=None):
         x = BasicTransformerBlock(self.dim, self.context_dim, self.num_heads,
                                   self.head_dim, dtype=self.dtype,
-                                  name="block")(x, context)
+                                  fused=self.fused, name="block")(x, context,
+                                                                  kv=kv)
         return x, None
 
 
 class SpatialTransformer(nn.Module):
-    """GN -> linear proj -> depth x transformer block (scanned) -> proj."""
+    """GN -> linear proj -> depth x transformer block (scanned) -> proj.
+
+    `fused` additionally hoists the cross-attention k/v projection out of
+    the depth scan: the per-depth fused kernels live as ONE stacked
+    parameter (`kv_cross`, (depth, context_dim, 2*channels)) contracted
+    against the (constant-within-a-forward) text context in a single
+    batched einsum — ten M=77 GEMMs per depth-10 transformer become one
+    M=770 GEMM, and the scan body stops dynamic-slicing its largest
+    per-block weight (measured lever, docs/architecture.md).
+    """
 
     channels: int
     context_dim: int
     num_heads: int
     depth: int = 1
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x, context):
@@ -274,11 +314,20 @@ class SpatialTransformer(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
-            in_axes=nn.broadcast,
-            unroll=self.depth if UNROLL_DEPTH_SCAN else 1,
+            in_axes=(nn.broadcast, 0) if self.fused else nn.broadcast,
+            unroll=min(DEPTH_SCAN_UNROLL, self.depth),
         )
-        x, _ = scan(c, self.context_dim, self.num_heads, head_dim,
-                    self.dtype, name="blocks")(x, context)
+        blocks = scan(c, self.context_dim, self.num_heads, head_dim,
+                      self.dtype, self.fused, name="blocks")
+        if self.fused:
+            kv_kernel = self.param(
+                "kv_cross", nn.initializers.lecun_normal(),
+                (self.depth, self.context_dim, 2 * c), jnp.float32)
+            kv_all = jnp.einsum("btc,dcf->dbtf", context.astype(self.dtype),
+                                kv_kernel.astype(self.dtype))
+            x, _ = blocks(x, context, kv_all)
+        else:
+            x, _ = blocks(x, context)
         x = nn.Dense(c, dtype=self.dtype, name="proj_out")(x)
         return x.reshape(b, h, w, c) + residual
 

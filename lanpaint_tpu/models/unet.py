@@ -44,6 +44,11 @@ class UNetConfig:
     # SDXL micro-conditioning: pooled text (1280) + 6x256 size embeds -> 2816
     adm_in_channels: Optional[int] = None
     dtype: jnp.dtype = jnp.bfloat16
+    # Import-time QKV fusion (measured perf lever, docs/architecture.md):
+    # attn1 q/k/v as one GEMM, attn2 k/v fused AND hoisted out of the depth
+    # scan.  Public checkpoint keys stay split; load.import_unet fuses on
+    # import, export_unet splits back (load.fuse_unet_qkv/unfuse_unet_qkv).
+    fused_qkv: bool = True
 
 
 SD15_CONFIG = UNetConfig()
@@ -122,6 +127,7 @@ class UNetModel(nn.Module):
                     h = SpatialTransformer(
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
+                        fused=cfg.fused_qkv,
                         name=f"down_{level}_{i}_attn")(h, context)
                 h = add_ctl(h, ctl_in, len(skips))
                 skips.append(h)
@@ -136,7 +142,8 @@ class UNetModel(nn.Module):
         if cfg.transformer_depth_middle > 0:
             h = SpatialTransformer(ch, cfg.context_dim, self._heads(ch),
                                    depth=cfg.transformer_depth_middle,
-                                   dtype=cfg.dtype, name="mid_attn")(h, context)
+                                   dtype=cfg.dtype, fused=cfg.fused_qkv,
+                                   name="mid_attn")(h, context)
         h = ResBlock(ch, dtype=cfg.dtype, name="mid_res2")(h, emb)
         if ctl_mid is not None:
             h = h + ctl_mid.astype(h.dtype)
@@ -153,6 +160,7 @@ class UNetModel(nn.Module):
                     h = SpatialTransformer(
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
+                        fused=cfg.fused_qkv,
                         name=f"up_{level}_{i}_attn")(h, context)
             if level != 0:
                 h = Upsample(ch, dtype=cfg.dtype, name=f"up_{level}_us")(h)

@@ -277,9 +277,51 @@ def build_qwen_image(params=None, **kw):
                      name="qwen-image", **kw)
 
 
+def build_zimage(
+    config=None,
+    params: Optional[Any] = None,
+    *,
+    shift: float = 3.0,
+    init_hw: int = 16,
+    seed: int = 0,
+    name: str = "z-image",
+):
+    """Z-Image S3-DiT denoiser (models/zimage.py — the Lumina2/NextDiT
+    graph the reference's Z_image workflows load; shift=3.0 is the
+    workflow's ModelSamplingAuraFlow value)."""
+    from .zimage import Z_IMAGE_S3_CONFIG, ZImageModel
+
+    config = Z_IMAGE_S3_CONFIG if config is None else config
+    module = ZImageModel(config)
+    if params is None:
+        b = 1
+        x = jnp.zeros((b, config.in_channels, init_hw, init_hw), jnp.float32)
+        ctx = jnp.zeros((b, 8, config.cap_dim), jnp.float32)
+        params = init_params_host(module, x, jnp.full((b,), 0.5), ctx,
+                                  seed=seed)
+
+    def raw_apply(p, x, t, cond):
+        tb = _bc(t, x.ndim)
+        ctx = cond["context"] if isinstance(cond, dict) else cond
+        vel = module.apply(p, x, t, ctx)
+        return x - tb * vel
+
+    den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
+                   raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
+                   sigma_table=FlowSigmaTable(shift=shift), is_flux=False,
+                   name=name, latent_channels=config.in_channels)
+    return den, params
+
+
+def build_tiny_zimage(params=None, **kw):
+    from .zimage import TINY_ZIMAGE_CONFIG
+
+    return build_zimage(TINY_ZIMAGE_CONFIG, params, name="tiny-z-image", **kw)
+
+
 def build_z_image(params=None, **kw):
-    return build_dit(Z_IMAGE_CONFIG, params, shift=3.0, is_flux=False,
-                     name="z-image", **kw)
+    """Back-compat alias: the full-size Z-Image S3-DiT."""
+    return build_zimage(params=params, **kw)
 
 
 def build_hyvideo(

@@ -208,6 +208,12 @@ def unet_tp_rules():
     col3 = P(None, None, "tensor")
     row3 = P(None, "tensor", None)
     return [
+        # fused layout (UNetConfig.fused_qkv, the default): attn1 to_qkv +
+        # attn2 to_q column-shard; the hoisted cross-kv stack kv_cross
+        # (depth, ctx, 2c) is column-parallel too — its einsum output feeds
+        # the head split, all logical under GSPMD.
+        (lambda n: "/block/" in n and "/attn1/to_qkv/kernel" in n, col3),
+        (lambda n: "/kv_cross" in n, col3),
         (lambda n: "/block/" in n and any(
             f"/{a}/{w}/kernel" in n for a in ("attn1", "attn2")
             for w in ("to_q", "to_k", "to_v")), col3),
@@ -308,9 +314,10 @@ def hidream_ep_rules():
         # shared expert + carried-txt SwiGLU (w1/w3 in, w2 out)
         (lambda n: ("/w1/kernel" in n or "/w3/kernel" in n), col),
         (lambda n: "/w2/kernel" in n, row),
-        # joint / single attention
-        (lambda n: any(f"attn_{w}/kernel" in n for w in "qkv"), col),
-        (lambda n: "attn_proj/kernel" in n, row),
+        # joint / single attention (public names: to_q[_t] ... to_out[_t])
+        (lambda n: any(f"/to_{w}/kernel" in n or f"/to_{w}_t/kernel" in n
+                       for w in "qkv"), col),
+        (lambda n: "/to_out/kernel" in n or "/to_out_t/kernel" in n, row),
     ]
 
 

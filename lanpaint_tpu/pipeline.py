@@ -229,14 +229,15 @@ class LanPaintPipeline:
                 "t5", import_t5(_state(t5), tc), tc, _t5_tok())
             family = "sd3"
         elif family == "z-image":
-            from .models.dit import Z_IMAGE_CONFIG
+            from .models.load import import_zimage
             from .models.vae import FLUX_VAE_CONFIG, VAE
-            from .models.zoo import build_dit
+            from .models.zimage import Z_IMAGE_S3_CONFIG
+            from .models.zoo import build_zimage
 
-            cfg = model_config or Z_IMAGE_CONFIG
-            den, _ = build_dit(cfg, import_dit(_state(model), cfg),
-                               shift=3.0 if shift is None else shift,
-                               is_flux=False, name="z-image")
+            cfg = model_config or Z_IMAGE_S3_CONFIG
+            den, _ = build_zimage(cfg, import_zimage(_state(model), cfg),
+                                  shift=3.0 if shift is None else shift,
+                                  name="z-image")
             vae_cfg = vae_config or FLUX_VAE_CONFIG
             vae_module = VAE(vae_cfg)
             vae_params = _vae_import(vae, vae_cfg)

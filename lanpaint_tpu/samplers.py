@@ -133,11 +133,17 @@ def _heunpp2(model, c, s, sn, i, key, ctx=None):
     Euler extrapolation to sigma_{i+2} with weights w_k =
     sigma_{i+k-1}/(3 sigma_0).  Reference whitelist: nodes.py:292-296.
     """
-    sigmas = ctx["sigmas"]
-    last = sigmas.shape[0] - 1
-    s_end = sigmas[last]
-    snn = sigmas[jnp.minimum(i + 2, last)]
-    sigma0 = sigmas[0]
+    if "row" in ctx:
+        # chunk-safe path: [sigma0, s_end, sigma_{i+2}] of the GLOBAL ladder
+        # (prepare_tables("heunpp2", full_sigmas), sliced per segment by the
+        # api) — the 3 scalars are all this scheme reads beyond (s, sn).
+        sigma0, s_end, snn = ctx["row"][0], ctx["row"][1], ctx["row"][2]
+    else:
+        sigmas = ctx["sigmas"]
+        last = sigmas.shape[0] - 1
+        s_end = sigmas[last]
+        snn = sigmas[jnp.minimum(i + 2, last)]
+        sigma0 = sigmas[0]
     den, x = model(c.x, s, jax.random.fold_in(key, 100))
     d = _to_d(x, s, den)
     dt = sn - s
@@ -525,9 +531,24 @@ def _deis(model, c, s, sn, i, key, coeff_row=None):
 
 
 def prepare_tables(sampler: str, sigmas) -> dict:
-    """Host-side per-ladder precomputation (concrete sigmas required)."""
+    """Host-side per-ladder precomputation (concrete sigmas required).
+
+    Both tables exist to make chunked launches (api chunk_steps) bit-equal
+    to the single launch: per-step rows computed from the FULL ladder, then
+    sliced per segment."""
     if sampler == "deis":
         return {"deis": jnp.asarray(_deis_coeffs(sigmas))}
+    if sampler == "heunpp2":
+        import numpy as onp
+
+        sig = onp.asarray(sigmas, onp.float32)
+        n = len(sig) - 1
+        rows = onp.stack([
+            onp.full((n,), sig[0], onp.float32),
+            onp.full((n,), sig[-1], onp.float32),
+            sig[onp.minimum(onp.arange(n) + 2, n)],
+        ], axis=1)
+        return {"heunpp2": jnp.asarray(rows)}
     return {}
 
 
@@ -595,12 +616,14 @@ def _dpm_fast_orders(m: int):
     return [3] * (m // 3) + [2]
 
 
-def _sample_dpm_fast(model, noise_x, sigmas, key, callback):
+def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
     """DPM-Solver-fast: uniform grid in t = -log sigma between the ladder's
     endpoints, order-3 groups scanned (one compiled 3-call body) + a 1/2
     order tail, then a final denoise at sigma_min.  Only the grouping is
     static (depends on len(sigmas)); the grid itself is traced.  Assumes the
-    ladder ends at 0 (the api always appends it)."""
+    ladder ends at 0 (the api always appends it).  With collect_aux the
+    model returns (den, x, aux) and per-group first-call aux stacks ride
+    along (see sample())."""
     n = sigmas.shape[0] - 1
     m = max(n - 1, 1)
     orders = _dpm_fast_orders(m)
@@ -612,8 +635,15 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback):
     t0_, t1_ = -jnp.log(sigma_max), -jnp.log(sigma_min)
     ts = t0_ + (t1_ - t0_) * jnp.arange(m + 1, dtype=jnp.float32) / m
 
+    def wrapped():
+        if not collect_aux:
+            return model, None
+        cell = []
+        return _aux_capturing(model, cell), cell
+
     x = noise_x
     dens = []
+    auxs = []
     n3 = sum(1 for o in orders if o == 3)
     if n3:
         t_pairs = jnp.stack(
@@ -622,27 +652,40 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback):
         def body(x, it):
             g, tp = it
             k = jax.random.fold_in(key, g)
-            x, den = _dpm3(model, x, tp[0], tp[1], k, 100)
+            mm, cell = wrapped()
+            x, den = _dpm3(mm, x, tp[0], tp[1], k, 100)
             if callback is not None:
                 jax.debug.callback(callback, g, den, x, ordered=False)
-            return x, den
+            return x, ((den, cell[0]) if collect_aux else den)
 
-        x, den3 = lax.scan(body, x, (jnp.arange(n3), t_pairs))
-        dens.append(den3)
+        x, ys3 = lax.scan(body, x, (jnp.arange(n3), t_pairs))
+        if collect_aux:
+            dens.append(ys3[0])
+            auxs.append(ys3[1])
+        else:
+            dens.append(ys3)
     for gi, o in enumerate([o for o in orders if o != 3]):
         g = n3 + gi
         k = jax.random.fold_in(key, g)
         fn = _dpm2 if o == 2 else _dpm1
-        x, den = fn(model, x, ts[bounds[g]], ts[bounds[g + 1]], k, 100)
+        mm, cell = wrapped()
+        x, den = fn(mm, x, ts[bounds[g]], ts[bounds[g + 1]], k, 100)
         if callback is not None:
             jax.debug.callback(callback, g, den, x, ordered=False)
         dens.append(den[None])
+        if collect_aux:
+            auxs.append(jax.tree.map(lambda a: a[None], cell[0]))
     # final denoise at the ladder floor (sigma -> 0 step)
-    den, x = model(x, sigma_min, jax.random.fold_in(key, 9999))
+    mm, cell = wrapped()
+    den, x = mm(x, sigma_min, jax.random.fold_in(key, 9999))
     x = den
     if callback is not None:
         jax.debug.callback(callback, len(orders), den, x, ordered=False)
     dens.append(den[None])
+    if collect_aux:
+        auxs.append(jax.tree.map(lambda a: a[None], cell[0]))
+        aux_all = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *auxs)
+        return x, (jnp.concatenate(dens, axis=0), aux_all)
     return x, jnp.concatenate(dens, axis=0)
 
 
@@ -667,6 +710,7 @@ def sample(
     step_offset=0,
     carry_in: SolverCarry = None,
     return_carry: bool = False,
+    collect_aux: bool = False,
 ):
     """Run the full outer sampling loop as one `lax.scan`.
 
@@ -681,9 +725,19 @@ def sample(
     `noise_x` = its output latent) so dpmpp_2m-style history solvers are
     bit-identical to the single launch.  With `return_carry` the result is
     (samples, all_denoised, carry).
+
+    `collect_aux`: the model returns (denoised, x_new, aux) and the aux
+    pytree of each step's FIRST model call is stacked along the step axis
+    (the think-loop diagnostics channel, engine.ThinkAux).  Solvers stay
+    aux-oblivious: the wrapper captures the aux tracer at the first
+    top-level model call — every registered solver's first call happens
+    outside `lax.cond` branches, which is what makes the capture legal.
+    all_denoised becomes the tuple (denoised_stack, aux_stack).
     """
     if sampler == "dpm_fast":
-        x, dens = _sample_dpm_fast(model, noise_x, sigmas, key, callback)
+        out = _sample_dpm_fast(model, noise_x, sigmas, key, callback,
+                               collect_aux=collect_aux)
+        x, dens = out
         if return_carry:
             return x, dens, init_carry(x)
         return x, dens
@@ -694,6 +748,13 @@ def sample(
                 "deis under jit needs host-precomputed coefficients: pass "
                 "tables=prepare_tables('deis', concrete_sigmas)")
         tables = prepare_tables("deis", sigmas)
+    # heunpp2 runs fine off its local ladder when unchunked; the table path
+    # (full-ladder [sigma0, s_end, sigma_{i+2}] rows) exists so CHUNKED
+    # segments keep the global weights — prepare it eagerly when possible.
+    if sampler == "heunpp2" and (tables is None or "heunpp2" not in tables) \
+            and not isinstance(sigmas, jax.core.Tracer):
+        tables = dict(tables or {}, **prepare_tables("heunpp2", sigmas))
+    tables = tables or {}
     carry0 = (init_carry(noise_x) if carry_in is None
               else carry_in._replace(x=noise_x))
     n = sigmas.shape[0] - 1
@@ -708,20 +769,41 @@ def sample(
         # RNG stream and callback indices identical to the single-launch
         # program.
         k = jax.random.fold_in(key, i + step_offset)
+        cell = []
+        m = _aux_capturing(model, cell) if collect_aux else model
         if sampler == "deis":
-            carry, den = step_fn(model, carry, s, sn, i, k,
+            carry, den = step_fn(m, carry, s, sn, i, k,
                                  coeff_row=tables["deis"][i])
         elif getattr(step_fn, "needs_ctx", False):
-            carry, den = step_fn(model, carry, s, sn, i, k,
-                                 ctx={"sigmas": sigmas})
+            ctx = {"sigmas": sigmas}
+            if sampler == "heunpp2" and "heunpp2" in tables:
+                # full-ladder constants (chunk-safe path): row =
+                # [sigma0, s_end, sigma_{i+2}] of the GLOBAL ladder
+                ctx["row"] = tables["heunpp2"][i]
+            carry, den = step_fn(m, carry, s, sn, i, k, ctx=ctx)
         else:
-            carry, den = step_fn(model, carry, s, sn, i, k)
+            carry, den = step_fn(m, carry, s, sn, i, k)
         if callback is not None:
             jax.debug.callback(callback, i + step_offset, den, carry.x,
                                ordered=False)
-        return carry, den
+        ys = (den, cell[0]) if collect_aux else den
+        return carry, ys
 
     carry, denoised_all = lax.scan(body, carry0, idx)
     if return_carry:
         return carry.x, denoised_all, carry
     return carry.x, denoised_all
+
+
+def _aux_capturing(model, cell):
+    """Wrap an aux-returning model into the plain (den, x) contract,
+    stashing the FIRST call's aux tracer in `cell` (valid within the trace
+    of the enclosing scan body — see sample(collect_aux=...))."""
+
+    def m(x, s, k):
+        den, xn, aux = model(x, s, k)
+        if not cell:
+            cell.append(aux)
+        return den, xn
+
+    return m

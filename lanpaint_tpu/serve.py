@@ -391,6 +391,11 @@ def pipeline_runner(pipeline, *, batch_size: int = 4,
                         fields["preview"] = _encode_array(imgs[lane])
                     progress.update(rid, **fields)
 
+        # think-loop accounting (engine.ThinkAux via the ksampler trace
+        # hook): published per request so a client can see the Langevin
+        # iterations actually spent per outer step — the serving face of
+        # the reference's lanpaint_semantic_trace (earlystop.py:315-334)
+        tr: Dict[str, Any] = {} if progress is not None and any(rids) else None
         try:
             outs = inpaint_image(
                 pipeline.model, pipeline.vae_module, pipeline.vae_params,
@@ -399,12 +404,18 @@ def pipeline_runner(pipeline, *, batch_size: int = 4,
                 cfg=v.cfg, sampler_name=v.sampler_name,
                 scheduler=v.scheduler, num_steps=v.num_steps,
                 chunk_steps=v.chunk_steps, sequential_cfg=v.sequential_cfg,
-                noise=jnp.asarray(noise), callback=callback)
+                noise=jnp.asarray(noise), callback=callback,
+                **({"trace": tr} if tr is not None else {}))
         finally:
             if progress is not None:
+                think = None
+                if tr and tr.get("steps_done") is not None:
+                    sd = tr["steps_done"]
+                    think = {"think_steps_done": [int(s) for s in sd],
+                             "think_steps_total": int(sd.sum())}
                 for rid in rids:
                     if rid:
-                        progress.update(rid, done=True)
+                        progress.update(rid, done=True, **(think or {}))
         outs = np.asarray(outs)
         return [outs[i] for i in range(n)]
 

@@ -455,3 +455,113 @@ def qwen_manifest(cfg, prefix=""):
     _lin(m, p + "norm_out.linear", 2 * h, h)
     _lin(m, p + "proj_out", cfg.out_channels, h)
     return m
+
+
+# ---------------------------------------------------------------------------
+# HiDream-I1 (HiDream-ai/HiDream-I1 transformer_hidream_image.py layout —
+# the Comfy-Org repackaged hidream_i1_*.safetensors the reference's HiDream
+# workflow loads through UNETLoader: x_embedder/t_embedder/p_embedder
+# embedders, ONE caption_projection TextProjection per double+single block
+# plus a final one for T5, `.block.`-wrapped streams with attn1.to_q[_t],
+# full-width q_rms_norm[_t], fused 12-chunk (double) / 6-chunk (single)
+# adaLN, ff_i MOEFeedForwardSwiGLU (shared_experts + experts.{j} + gate) and
+# ff_t FeedForwardSwiGLU)
+
+
+def hidream_manifest(cfg, prefix=""):
+    m = {}
+    p = prefix
+    h = cfg.hidden
+    inner = cfg.ffn_dim
+    e_n = cfg.num_experts
+
+    _lin(m, p + "x_embedder.proj", h, cfg.in_channels)
+    _lin(m, p + "t_embedder.timestep_embedder.linear_1", h, 256)
+    _lin(m, p + "t_embedder.timestep_embedder.linear_2", h, h)
+    if cfg.vec_dim > 0:
+        _lin(m, p + "p_embedder.pooled_embedder.linear_1", h, cfg.vec_dim)
+        _lin(m, p + "p_embedder.pooled_embedder.linear_2", h, h)
+    n_blocks = cfg.depth_double + cfg.depth_single
+    for i in range(n_blocks):
+        m[f"{p}caption_projection.{i}.linear.weight"] = (h, cfg.llama_dim)
+    m[f"{p}caption_projection.{n_blocks}.linear.weight"] = (h, cfg.context_dim)
+
+    def swiglu(k):
+        m[k + ".w1.weight"] = (inner, h)
+        m[k + ".w2.weight"] = (h, inner)
+        m[k + ".w3.weight"] = (inner, h)
+
+    def moe(k):
+        swiglu(k + ".shared_experts")
+        for j in range(e_n):
+            swiglu(f"{k}.experts.{j}")
+        m[k + ".gate.weight"] = (e_n, h)
+
+    def attn(k, with_t):
+        for s in (("", "_t") if with_t else ("",)):
+            for w in ("to_q", "to_k", "to_v", "to_out"):
+                _lin(m, f"{k}.{w}{s}", h, h)
+            m[f"{k}.q_rms_norm{s}.weight"] = (h,)
+            m[f"{k}.k_rms_norm{s}.weight"] = (h,)
+
+    for i in range(cfg.depth_double):
+        b = f"{p}double_stream_blocks.{i}.block"
+        _lin(m, b + ".adaLN_modulation.1", 12 * h, h)
+        attn(b + ".attn1", with_t=True)
+        moe(b + ".ff_i")
+        swiglu(b + ".ff_t")
+    for i in range(cfg.depth_single):
+        b = f"{p}single_stream_blocks.{i}.block"
+        _lin(m, b + ".adaLN_modulation.1", 6 * h, h)
+        attn(b + ".attn1", with_t=False)
+        moe(b + ".ff_i")
+    _lin(m, p + "final_layer.adaLN_modulation.1", 2 * h, h)
+    _lin(m, p + "final_layer.linear", cfg.out_channels, h)
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Z-Image (Tongyi S3-DiT via the Lumina2/NextDiT layout — the reference's
+# Z_image workflows load z_image_*_bf16.safetensors through UNETLoader with
+# CLIPLoader type 'lumina2': Alpha-VLLM NextDiT module structure)
+
+
+def zimage_manifest(cfg, prefix=""):
+    m = {}
+    p = prefix
+    h = cfg.hidden
+    d = cfg.head_dim
+    tdim = cfg.t_dim
+
+    _lin(m, p + "x_embedder", h, cfg.in_channels * cfg.patch * cfg.patch)
+    m[p + "cap_embedder.0.weight"] = (cfg.cap_dim,)
+    _lin(m, p + "cap_embedder.1", h, cfg.cap_dim)
+    _lin(m, p + "t_embedder.mlp.0", tdim, 256)
+    _lin(m, p + "t_embedder.mlp.2", tdim, tdim)
+    m[p + "norm_final.weight"] = (h,)
+    _lin(m, p + "final_layer.linear",
+         cfg.out_channels * cfg.patch * cfg.patch, h)
+    _lin(m, p + "final_layer.adaLN_modulation.1", h, tdim)
+
+    def block(k, modulated):
+        m[f"{k}.attention.qkv.weight"] = (
+            (cfg.num_heads + 2 * cfg.num_kv_heads) * d, h)
+        m[f"{k}.attention.out.weight"] = (h, cfg.num_heads * d)
+        m[f"{k}.attention.q_norm.weight"] = (d,)
+        m[f"{k}.attention.k_norm.weight"] = (d,)
+        m[f"{k}.feed_forward.w1.weight"] = (cfg.ffn_dim, h)
+        m[f"{k}.feed_forward.w2.weight"] = (h, cfg.ffn_dim)
+        m[f"{k}.feed_forward.w3.weight"] = (cfg.ffn_dim, h)
+        for n in ("attention_norm1", "attention_norm2", "ffn_norm1",
+                  "ffn_norm2"):
+            m[f"{k}.{n}.weight"] = (h,)
+        if modulated:
+            _lin(m, f"{k}.adaLN_modulation.1", 4 * h, tdim)
+
+    for i in range(cfg.context_refiner_depth):
+        block(f"{p}context_refiner.{i}", modulated=False)
+    for i in range(cfg.refiner_depth):
+        block(f"{p}noise_refiner.{i}", modulated=True)
+    for i in range(cfg.depth):
+        block(f"{p}layers.{i}", modulated=True)
+    return m

@@ -211,6 +211,9 @@ def test_node_entry_points_reuse_compiled_sampler():
     # threaded across segment boundaries, so these must be bit-identical too
     "dpmpp_2m", "dpmpp_3m_sde", "res_multistep", "er_sde",
     "gradient_estimation", "deis",
+    # heunpp2 reads three full-ladder scalars; they ride per-step table rows
+    # (prepare_tables) so chunked segments keep the global weights
+    "heunpp2",
 ])
 def test_chunked_launches_match_single_launch(sampler_name):
     """chunk_steps splits the ladder into multiple jitted launches; the
@@ -254,3 +257,99 @@ def test_chunked_flow_leftover_noise_inverse_scaling():
     out2, _ = sam(latent=latent, sigmas=sigmas, cond=cond, seed=2,
                   chunk_steps=2)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+# ---------------------------------------------------------------------------
+# think-loop trace surfacing (VERDICT r2 item 2: the reference exposes
+# model_options["lanpaint_semantic_trace"]; ours is return_aux / trace=)
+
+
+def test_return_aux_reports_steps_done(toy):
+    """aux.steps_done must show n_steps iterations per outer step and 0 in
+    the outer-early-stop tail."""
+    latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, 4:] = 1.0
+    cond = jnp.zeros((1, 1), jnp.float32)
+    from lanpaint_tpu.sigmas import calculate_sigmas
+    sigmas = jnp.asarray(calculate_sigmas(toy.sigma_table, "karras", 6))
+    sam = LanPaintSampler(
+        toy, config=LanPaintConfig(n_steps=3, outer_early_stop=2),
+        sampler_name="euler", cfg=1.0, return_aux=True)
+    out, den, aux = sam(latent=latent, sigmas=sigmas, cond=cond,
+                        mask=jnp.asarray(mask), seed=0)
+    steps = np.asarray(aux.steps_done)
+    assert steps.shape == (6,)
+    # outer early stop: last 2 steps run 0 think iterations
+    np.testing.assert_array_equal(steps, [3, 3, 3, 3, 0, 0])
+    assert np.asarray(aux.trace).shape == (6, 3, 8)
+
+
+def test_return_aux_semantic_stop_spends_fewer_steps(toy):
+    """With a huge inner threshold the semantic stopper fires at
+    patience+1 = 2 stable iterations; steps_done must reflect the actual
+    (reduced) spend, and the trace rows must mark the stop."""
+    latent = jnp.full((1, 4, 8, 8), 1.0, jnp.float32)
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, 4:] = 1.0
+    cond = jnp.zeros((1, 1), jnp.float32)
+    from lanpaint_tpu.sigmas import calculate_sigmas
+    sigmas = jnp.asarray(calculate_sigmas(toy.sigma_table, "karras", 5))
+    sam = LanPaintSampler(
+        toy, config=LanPaintConfig(n_steps=8, inner_threshold=0.9,
+                                   inner_patience=1, outer_early_stop=1,
+                                   record_trace=True),
+        sampler_name="euler", cfg=1.0, return_aux=True)
+    out, den, aux = sam(latent=latent, sigmas=sigmas, cond=cond,
+                        mask=jnp.asarray(mask), seed=0)
+    steps = np.asarray(aux.steps_done)
+    trace = np.asarray(aux.trace)
+    # at least some steps stop early (abt-midrange steps, where the
+    # 4*abt*(1-abt) threshold scale is near 1)
+    stopped_steps = [i for i, s in enumerate(steps[:-1]) if s < 8]
+    assert stopped_steps, steps
+    # the row at the stop index carries stopped=1
+    for i in stopped_steps:
+        s = steps[i]
+        assert trace[i, s - 1, 7] == 1.0, (i, s, trace[i])
+
+
+def test_ksampler_trace_hook(toy):
+    """ksampler(trace=dict) fills steps_done + per-inner-step rows (the
+    reference's lanpaint_semantic_trace equivalent) without changing the
+    samples return."""
+    latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, 4:] = 1.0
+    cond = jnp.zeros((1, 1), jnp.float32)
+    tr: dict = {}
+    out = ksampler(toy, seed=0, steps=5, cfg=1.0, sampler_name="euler",
+                   scheduler="karras", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2, trace=tr)
+    assert np.isfinite(np.asarray(out)).all()
+    assert tr["steps_done"].shape == (5,)
+    np.testing.assert_array_equal(tr["steps_done"], [2, 2, 2, 2, 0])
+    # record_trace fills metric rows even with the stopper disabled
+    # (threshold 0): inner_step column is populated for executed iterations
+    assert tr["trace"].shape == (5, 2, 8)
+    assert (tr["trace"][0, :, 0] == [1.0, 2.0]).all()
+
+
+def test_return_aux_chunked_concatenates(toy):
+    """Chunked launches must return the same aux stream as one launch."""
+    latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)
+    mask = np.zeros((8, 8), np.float32)
+    mask[:, 4:] = 1.0
+    cond = jnp.zeros((1, 1), jnp.float32)
+    from lanpaint_tpu.sigmas import calculate_sigmas
+    sigmas = jnp.asarray(calculate_sigmas(toy.sigma_table, "karras", 6))
+    sam = LanPaintSampler(toy, config=LanPaintConfig(n_steps=2),
+                          sampler_name="dpmpp_2m", cfg=1.0, return_aux=True)
+    o1, d1, a1 = sam(latent=latent, sigmas=sigmas, cond=cond,
+                     mask=jnp.asarray(mask), seed=3)
+    o2, d2, a2 = sam(latent=latent, sigmas=sigmas, cond=cond,
+                     mask=jnp.asarray(mask), seed=3, chunk_steps=2)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(a1.steps_done),
+                                  np.asarray(a2.steps_done))
+    np.testing.assert_array_equal(np.asarray(a1.trace), np.asarray(a2.trace))

@@ -319,3 +319,97 @@ def test_qwen_shape_parity_tiny():
                          jnp.zeros((1, 8, cfg.context_dim)))
     man = M.qwen_manifest(cfg)
     _shape_parity(man, L.export_qwen(params, cfg))
+
+
+# -- HiDream-I1 (HiDream-ai layout) --------------------------------------------
+
+
+def test_hidream_key_parity_full_scale():
+    from lanpaint_tpu.models.hidream import HIDREAM_I1_CONFIG
+
+    man = M.hidream_manifest(HIDREAM_I1_CONFIG)
+    want = L.hidream_expected_keys(HIDREAM_I1_CONFIG)
+    assert set(man) == want, (
+        f"leftover={sorted(set(man) - want)[:8]} "
+        f"missing={sorted(want - set(man))[:8]}")
+    # headline facts of the public release: 2560 hidden, 16 double + 32
+    # single blocks, one caption projection per block + T5, 4 experts,
+    # 6912 SwiGLU width, fused 12-chunk double adaLN
+    assert man["x_embedder.proj.weight"] == (2560, 64)
+    assert man["caption_projection.47.linear.weight"] == (2560, 4096)
+    assert man["caption_projection.48.linear.weight"] == (2560, 4096)
+    assert "caption_projection.49.linear.weight" not in man
+    assert man["double_stream_blocks.15.block.adaLN_modulation.1.weight"] == \
+        (12 * 2560, 2560)
+    assert man["single_stream_blocks.31.block.ff_i.experts.3.w1.weight"] == \
+        (6912, 2560)
+    assert man["double_stream_blocks.0.block.ff_i.gate.weight"] == (4, 2560)
+    assert man["double_stream_blocks.0.block.attn1.q_rms_norm_t.weight"] == \
+        (2560,)
+
+
+def test_hidream_shape_parity_tiny():
+    from lanpaint_tpu.models.hidream import TINY_HIDREAM_CONFIG, HiDreamModel
+
+    cfg = TINY_HIDREAM_CONFIG
+    module = HiDreamModel(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.latent_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.context_dim)),
+                         jnp.zeros((1, cfg.vec_dim)),
+                         jnp.zeros((2, 1, 4, cfg.llama_dim)))
+    man = M.hidream_manifest(cfg)
+    _shape_parity(man, L.export_hidream(params, cfg))
+
+
+# -- Z-Image (Lumina2/NextDiT layout) -------------------------------------------
+
+
+def test_zimage_key_parity_full_scale():
+    from lanpaint_tpu.models.zimage import Z_IMAGE_S3_CONFIG
+
+    man = M.zimage_manifest(Z_IMAGE_S3_CONFIG)
+    _key_parity(man, L._zimage_entries(Z_IMAGE_S3_CONFIG), "")
+    # workflow-pinned facts: Qwen3-4B (2560) text features via cap_embedder,
+    # 16ch Flux-ae latents, scale-only final modulation from min(dim,1024)
+    assert man["cap_embedder.0.weight"] == (2560,)
+    assert man["cap_embedder.1.weight"][1] == 2560
+    assert man["x_embedder.weight"][1] == 16 * 4
+    assert man["final_layer.adaLN_modulation.1.weight"][1] == 1024
+    assert "context_refiner.0.adaLN_modulation.1.weight" not in man
+    assert "noise_refiner.0.adaLN_modulation.1.weight" in man
+
+
+def test_zimage_shape_parity_tiny():
+    from lanpaint_tpu.models.zimage import TINY_ZIMAGE_CONFIG, ZImageModel
+
+    cfg = TINY_ZIMAGE_CONFIG
+    module = ZImageModel(cfg)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, cfg.in_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.cap_dim)))
+    man = M.zimage_manifest(cfg)
+    _shape_parity(man, L.export_zimage(params, cfg))
+
+
+def test_zimage_import_export_roundtrip_tiny():
+    import numpy as np
+
+    from lanpaint_tpu.models.zimage import TINY_ZIMAGE_CONFIG, ZImageModel
+
+    cfg = TINY_ZIMAGE_CONFIG
+    module = ZImageModel(cfg)
+    params = module.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, cfg.in_channels, 16, 16)),
+                         jnp.full((1,), 0.5),
+                         jnp.zeros((1, 8, cfg.cap_dim)))
+    state = L.export_zimage(params, cfg)
+    back = L.import_zimage(state, cfg)
+    flat_a = L._tree_to_flat(params["params"])
+    flat_b = L._tree_to_flat(back["params"])
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))

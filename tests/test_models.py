@@ -481,3 +481,20 @@ def test_taesd_decoder_shapes_and_roundtrip(key):
         cb(i, z, z)
     assert [f[0] for f in frames] == [0, 2, 4]
     assert all(f[1] == (1, 3, 64, 64) for f in frames)
+
+
+def test_zimage_end_to_end_inpaint(key):
+    """Z-Image S3-DiT (context/noise refiners + main single-stream layers,
+    GQA fused qkv, sandwich norms) through the full inpaint pipeline."""
+    from lanpaint_tpu.models.zoo import build_tiny_zimage
+
+    den, _ = build_tiny_zimage()
+    latent = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[8:, :] = 1.0
+    cond = {"context": jnp.zeros((1, 8, 24), jnp.float32)}
+    out = ksampler(den, seed=0, steps=3, cfg=1.0, sampler_name="euler",
+                   scheduler="simple", positive=cond, latent=latent,
+                   mask=jnp.asarray(mask), num_steps=2)
+    assert out.shape == latent.shape
+    assert bool(jnp.all(jnp.isfinite(out)))

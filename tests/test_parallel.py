@@ -134,7 +134,7 @@ def test_expert_parallel_hidream_matches_replicated():
 
     params_ep = shard_params_tp(mesh, params, hidream_ep_rules())
     # the expert axis is really sharded (scanned moe w1: L, E, h, inner)
-    moe_w1 = params_ep["params"]["single"]["block"]["moe"]["experts_w1"]
+    moe_w1 = params_ep["params"]["single"]["block"]["ff_i"]["experts_w1"]
     assert {s.device.id for s in moe_w1.addressable_shards} != {0}
     assert moe_w1.addressable_shards[0].data.shape[1] == 2  # E=4 over 2
 
@@ -169,9 +169,13 @@ def test_tensor_parallel_unet_matches_replicated():
     want = jax.jit(den.raw_apply)(params, x, t, cond)
 
     params_tp = shard_params_tp(mesh, params, unet_tp_rules())
-    # the attention kernels are really sharded
-    qk = params_tp["params"]["mid_attn"]["blocks"]["block"]["attn1"]["to_q"]["kernel"]
+    # the attention kernels are really sharded (fused layout: attn1 to_qkv
+    # column-parallel, hoisted kv_cross stack column-parallel)
+    st = params_tp["params"]["mid_attn"]
+    qk = st["blocks"]["block"]["attn1"]["to_qkv"]["kernel"]
     assert qk.addressable_shards[0].data.shape[-1] < qk.shape[-1]
+    kv = st["kv_cross"]
+    assert kv.addressable_shards[0].data.shape[-1] < kv.shape[-1]
     with mesh:
         got = jax.jit(den.raw_apply)(params_tp, x, t, cond)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),

@@ -359,8 +359,12 @@ def test_pipeline_runner_progress_and_preview():
             return {"context": np.zeros((1, 2, 2), np.float32)}
 
     def fake_inpaint_image(model, vae_module, vae_params, *, image, mask,
-                           positive, negative, callback=None, **kw):
+                           positive, negative, callback=None, trace=None,
+                           **kw):
         assert callback is not None
+        # the runner passes a trace dict (think-loop accounting channel)
+        assert trace is not None
+        trace["steps_done"] = np.asarray([5, 5, 0])
         lat = np.arange(image.shape[0] * 4 * 2 * 2, dtype=np.float32
                         ).reshape(image.shape[0], 4, 2, 2)
         for i in range(3):
@@ -387,6 +391,10 @@ def test_pipeline_runner_progress_and_preview():
     assert e is not None and e["done"]
     assert e["step"] == 3 and e["total"] == 3
     assert e["preview"] is not None and e["preview"]["shape"] == [2, 2, 3]
+    # a served request can report the think iterations actually spent
+    # (VERDICT r2 item 2 done-criterion)
+    assert e["think_steps_done"] == [5, 5, 0]
+    assert e["think_steps_total"] == 10
     assert board.get("") is None  # the id-less lane published nothing
 
 
