@@ -143,13 +143,22 @@ def _tpu_selftest() -> str:
     """Run the TPU-only Pallas/attention tests on the chip (CPU CI can't)."""
     try:
         proc = subprocess.run(
+            # -n 0 overrides pytest.ini's xdist sharding: four workers
+            # contending for the ONE real chip through the tunnel serialize
+            # terribly (observed >15 min vs ~2 min single-process)
             [sys.executable, "-m", "pytest", "tests/test_fused.py",
-             "tests/test_attention.py", "-q", "-p", "no:cacheprovider"],
+             "tests/test_attention.py", "tests/test_norms.py",
+             "-q", "-n", "0", "-p", "no:cacheprovider"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=900,
+            # run on the REAL chip: without this the tests/conftest.py
+            # CPU-forcing makes every skipif(backend=="cpu") case skip and
+            # the selftest is vacuous (caught r3)
+            env={**os.environ, "LANPAINT_TEST_TPU": "1"},
         )
         if proc.returncode == 0:
-            return "pass"
+            tail = proc.stdout.strip().splitlines()
+            return "pass " + (tail[-1] if tail else "")
         return "fail: " + proc.stdout[-300:].replace("\n", " ")
     except Exception as e:  # never fail the headline bench on the gate
         return f"error: {e}"

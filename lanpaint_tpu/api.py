@@ -200,7 +200,8 @@ class LanPaintSampler:
         res_multistep(_ancestral), gradient_estimation, er_sde, deis) is
         threaded across segment boundaries as a SolverCarry, and deis
         coefficients are precomputed from the FULL ladder then sliced per
-        segment.  Only dpm_fast and heunpp2 reject chunking (their update
+        segment; heunpp2's three full-ladder scalars ride its per-step
+        table rows.  Only dpm_fast rejects chunking (its order grouping
         reads the full ladder at once).  Use at video scale: bounds
         single-execution device time (the remote-TPU transport kills
         executions beyond ~1 min) and gives the serving layer per-chunk

@@ -19,7 +19,7 @@ from typing import Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import MLPEmbedder, QKNorm, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+from .layers import MLPEmbedder, QKNorm, apply_rope, attention_bshd, layernorm_na, rope_freqs, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,11 +175,9 @@ class DoubleStreamBlock(nn.Module):
             q, k = QKNorm(d, name=f"{prefix}_qknorm")(q, k)
             return q, k, v
 
-        img_n = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                       dtype=jnp.float32, name="img_norm1")(img),
+        img_n = _modulate(layernorm_na(img),
                           im1_shift, im1_scale)
-        txt_n = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                       dtype=jnp.float32, name="txt_norm1")(txt),
+        txt_n = _modulate(layernorm_na(txt),
                           tx1_shift, tx1_scale)
         iq, ik, iv = qkv(img_n.astype(cfg.dtype), "img_attn")
         tq, tk, tv = qkv(txt_n.astype(cfg.dtype), "txt_attn")
@@ -200,11 +198,9 @@ class DoubleStreamBlock(nn.Module):
         txt = txt + tx1_gate * nn.Dense(cfg.hidden, dtype=cfg.dtype,
                                         name="txt_attn_proj")(txt_a)
 
-        img_n2 = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                        dtype=jnp.float32, name="img_norm2")(img),
+        img_n2 = _modulate(layernorm_na(img),
                            im2_shift, im2_scale).astype(cfg.dtype)
-        txt_n2 = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                        dtype=jnp.float32, name="txt_norm2")(txt),
+        txt_n2 = _modulate(layernorm_na(txt),
                            tx2_shift, tx2_scale).astype(cfg.dtype)
         img_h = nn.gelu(nn.Dense(mlp_h, dtype=cfg.dtype, name="img_mlp_0")(img_n2))
         img = img + im2_gate * nn.Dense(cfg.hidden, dtype=cfg.dtype,
@@ -227,8 +223,7 @@ class SingleStreamBlock(nn.Module):
         mlp_h = int(cfg.hidden * cfg.mlp_ratio)
         shift, scale, gate = Modulation(cfg.hidden, False, dtype=cfg.dtype,
                                         name="modulation")(vec)
-        xn = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                    dtype=jnp.float32, name="pre_norm")(x),
+        xn = _modulate(layernorm_na(x),
                        shift, scale).astype(cfg.dtype)
         fused = nn.Dense(3 * cfg.hidden + mlp_h, dtype=cfg.dtype, name="linear1")(xn)
         qkv, mlp = fused[..., : 3 * cfg.hidden], fused[..., 3 * cfg.hidden:]
@@ -277,8 +272,7 @@ class LastLayer(nn.Module):
         mod = nn.Dense(2 * cfg.hidden, dtype=cfg.dtype,
                        name="adaLN_modulation")(nn.silu(vec))
         shift, scale = jnp.split(mod[:, None, :], 2, axis=-1)
-        x = _modulate(nn.LayerNorm(use_bias=False, use_scale=False,
-                                   dtype=jnp.float32, name="norm_final")(x),
+        x = _modulate(layernorm_na(x),
                       shift, scale)
         return nn.Dense(cfg.out_channels, dtype=jnp.float32,
                         name="linear")(x.astype(jnp.float32))

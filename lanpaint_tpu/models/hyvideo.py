@@ -39,10 +39,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .layers import (
+    LayerNormF32,
     MLPEmbedder,
     RMSNorm,
     apply_rope,
     attention_bshd,
+    layernorm_na,
     rope_freqs,
     timestep_embedding,
 )
@@ -89,10 +91,11 @@ def _modulate(x, shift, scale):
 
 
 def _ln(name):
-    """LayerNorm without affine params, computed in fp32 (the torch model's
-    elementwise_affine=False norms — they contribute no checkpoint keys)."""
-    return nn.LayerNorm(use_bias=False, use_scale=False, dtype=jnp.float32,
-                        name=name)
+    """LayerNorm without affine params, fp32 statistics (the torch model's
+    elementwise_affine=False norms — they contribute no checkpoint keys).
+    Backed by the fused Pallas row-norm (ops/norms.py) on TPU."""
+    del name  # paramless: no scope needed
+    return layernorm_na
 
 
 class _RefinerBlock(nn.Module):
@@ -111,7 +114,7 @@ class _RefinerBlock(nn.Module):
                          name="adaLN_modulation")(nn.silu(c))
         gate_msa, gate_mlp = jnp.split(gates[:, None, :], 2, axis=-1)
         # norm1/norm2 ARE affine in the refiner (ckpt: norm1.weight/bias)
-        xn = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x).astype(cfg.dtype)
+        xn = LayerNormF32(name="norm1")(x).astype(cfg.dtype)
         qkv = nn.Dense(3 * cfg.hidden, dtype=cfg.dtype, name="self_attn_qkv")(xn)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         attn = attention_bshd(q.reshape(b, s, h, d), k.reshape(b, s, h, d),
@@ -119,7 +122,7 @@ class _RefinerBlock(nn.Module):
         attn = attn.reshape(b, s, cfg.hidden)
         x = x + gate_msa * nn.Dense(cfg.hidden, dtype=cfg.dtype,
                                     name="self_attn_proj")(attn)
-        xn = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x).astype(cfg.dtype)
+        xn = LayerNormF32(name="norm2")(x).astype(cfg.dtype)
         hdn = nn.silu(nn.Dense(cfg.mlp_hidden, dtype=cfg.dtype, name="mlp_fc1")(xn))
         return x + gate_mlp * nn.Dense(cfg.hidden, dtype=cfg.dtype,
                                        name="mlp_fc2")(hdn)

@@ -9,12 +9,15 @@ the Pallas splash kernel via `attention_impl`.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..ops.norms import fused_layernorm, fused_rmsnorm
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0,
@@ -57,6 +60,23 @@ import os as _os
 
 DEPTH_SCAN_UNROLL = int(_os.environ.get("LANPAINT_DEPTH_UNROLL", "1"))
 
+# Fused single-pass Pallas row-norms (ops/norms.py).  Default ON; set
+# LANPAINT_FUSED_NORM=0 to A/B against the stock nn.LayerNorm lowering
+# (separate XLA reduce fusions with fp32 intermediates in HBM).
+FUSED_NORM = _os.environ.get("LANPAINT_FUSED_NORM", "1") != "0"
+
+# Splash-attention kernel for long non-causal self-attention.  Measured on
+# v5e (2026-08-19, S=4096 H=10 D=64 bf16, 50-call scan harness): legacy
+# flash 1358 us/call vs splash bq=1024/bkv=2048 1109 us/call — ~18% raw,
+# ~35% net of the harness's fixed ~660 us overhead (calibrated from the
+# S=1024 row where in-program flash is known to be 74 us).  S=1024 was
+# inside harness noise, so the legacy kernel keeps that shape.
+# LANPAINT_SPLASH=0 reverts to the legacy flash kernel everywhere.
+USE_SPLASH = _os.environ.get("LANPAINT_SPLASH", "1") != "0"
+SPLASH_MIN_S = 2048
+SPLASH_BLOCK_Q = 1024
+SPLASH_BLOCK_KV = 2048
+
 
 def _flash_block_sizes(s_padded: int, block: int):
     from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
@@ -67,6 +87,39 @@ def _flash_block_sizes(s_padded: int, block: int):
         block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b,
         block_q_dkv=b, block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
     )
+
+
+@functools.lru_cache(maxsize=32)
+def _splash_kernel(s: int, h: int):
+    """Cached splash-attention kernel for a full (non-causal) S x S mask."""
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as sk,
+        splash_attention_mask as sm,
+    )
+
+    mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
+    bkv = min(SPLASH_BLOCK_KV, s)
+    return sk.make_splash_mha(
+        mask=mask, head_shards=1, q_seq_shards=1,
+        block_sizes=sk.BlockSizes(block_q=min(SPLASH_BLOCK_Q, s),
+                                  block_kv=bkv,
+                                  block_kv_compute=min(bkv, 512)))
+
+
+def _splash_attention(q, k, v, scale: float):
+    """(B, S, H, D) non-causal self-attention via the splash kernel."""
+    b, s, h, d = q.shape
+    kern = _splash_kernel(s, h)
+
+    def one(qi, ki, vi):
+        o = kern(jnp.transpose(qi * scale, (1, 0, 2)),
+                 jnp.transpose(ki, (1, 0, 2)),
+                 jnp.transpose(vi, (1, 0, 2)))
+        return jnp.transpose(o, (1, 0, 2))
+
+    if b == 1:
+        return one(q[0], k[0], v[0])[None]
+    return jax.vmap(one)(q, k, v)
 
 
 def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
@@ -84,7 +137,7 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
     """
     b, s, h, d = q.shape
     sk = k.shape[1]
-    use_flash = impl == "flash" or (
+    use_flash = impl in ("flash", "splash") or (
         impl == "auto"
         and jax.default_backend() == "tpu"
         and s == sk and s >= 1024 and d % 64 == 0
@@ -96,6 +149,13 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
         )
 
         scale = (1.0 / math.sqrt(d)) if sm_scale is None else sm_scale
+        # "auto"/"splash" prefer the splash kernel on aligned long sequences
+        # (measured faster at S=4096; see USE_SPLASH note).  Explicit
+        # impl="flash" always means the legacy kernel.
+        if (impl != "flash" and USE_SPLASH and s >= SPLASH_MIN_S
+                and s % min(SPLASH_BLOCK_Q, s) == 0
+                and s % min(SPLASH_BLOCK_KV, s) == 0):
+            return _splash_attention(q, k, v, scale)
         pad = (-s) % FLASH_BLOCK
         seg = None
         if pad:
@@ -149,6 +209,48 @@ class GroupNorm32(nn.Module):
         return x.astype(dt)
 
 
+def layernorm_na(x, eps: float = 1e-6):
+    """No-affine LayerNorm with fp32 statistics (the adaLN pre-norm used by
+    every DiT block).  Fused Pallas single pass on TPU; returns x.dtype (the
+    fp32 nn.LayerNorm output was always immediately modulated and downcast —
+    same result, minus an fp32 HBM round trip)."""
+    if FUSED_NORM:
+        return fused_layernorm(x, eps=eps)
+    return nn.LayerNorm(use_bias=False, use_scale=False, epsilon=eps,
+                        dtype=jnp.float32)(x).astype(x.dtype)
+
+
+class LayerNormF32(nn.Module):
+    """Drop-in nn.LayerNorm (fp32 statistics, learned scale+bias) backed by
+    the fused Pallas row-norm on TPU (ops/norms.py).  Param names/init match
+    nn.LayerNorm exactly so checkpoint keys are unchanged.  Output is in the
+    INPUT dtype (nn.LayerNorm(dtype=f32) returns fp32 that every consumer
+    here immediately downcasts — same bits, minus the fp32 HBM round trip)."""
+
+    eps: float = 1e-6
+    use_scale: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        gamma = (self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+                 if self.use_scale else None)
+        beta = (self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+                if self.use_bias else None)
+        if not FUSED_NORM:
+            dt = x.dtype
+            out = nn.LayerNorm(epsilon=self.eps, use_scale=False,
+                               use_bias=False,
+                               dtype=jnp.float32)(x.astype(jnp.float32))
+            if gamma is not None:
+                out = out * gamma
+            if beta is not None:
+                out = out + beta
+            return out.astype(dt)
+        return fused_layernorm(x, gamma, beta, self.eps)
+
+
 class RMSNorm(nn.Module):
     dim: int
     eps: float = 1e-6
@@ -156,13 +258,17 @@ class RMSNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dt = x.dtype
-        xf = x.astype(jnp.float32)
-        n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
-        if self.learned:
-            scale = self.param("scale", nn.initializers.ones, (self.dim,), jnp.float32)
-            n = n * scale
-        return n.astype(dt)
+        scale = (self.param("scale", nn.initializers.ones, (self.dim,),
+                            jnp.float32) if self.learned else None)
+        if not FUSED_NORM:
+            dt = x.dtype
+            xf = x.astype(jnp.float32)
+            n = xf * jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + self.eps)
+            if scale is not None:
+                n = n * scale
+            return n.astype(dt)
+        return fused_rmsnorm(x, scale, self.eps)
 
 
 class QKNorm(nn.Module):
@@ -250,15 +356,15 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, kv=None):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = LayerNormF32(name="norm1")(x)
         x = x + CrossAttention(self.dim, None, self.num_heads, self.head_dim,
                                dtype=self.dtype, fused=self.fused,
                                name="attn1")(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = LayerNormF32(name="norm2")(x)
         x = x + CrossAttention(self.dim, self.context_dim, self.num_heads,
                                self.head_dim, dtype=self.dtype,
                                fused=self.fused, name="attn2")(h, context, kv=kv)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = LayerNormF32(name="norm3")(x)
         return x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
 
 

@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import MLPEmbedder, apply_rope, attention_bshd, rope_freqs, timestep_embedding
+from .layers import LayerNormF32, MLPEmbedder, apply_rope, attention_bshd, layernorm_na, rope_freqs, timestep_embedding
 
 
 @dataclasses.dataclass(frozen=True)
@@ -189,12 +189,11 @@ class WanBlock(nn.Module):
         e = (mod_table + e.astype(jnp.float32)).astype(rdt)
         sh1, sc1, g1, sh2, sc2, g2 = [e[:, i][:, None] for i in range(6)]
 
-        ln = lambda name: nn.LayerNorm(use_bias=False, use_scale=False,
-                                       epsilon=cfg.eps, dtype=jnp.float32, name=name)
+        ln = lambda name: (lambda t: layernorm_na(t, cfg.eps))  # paramless
         xn = ln("norm1")(x) * (1 + sc1) + sh1
         x = x + g1 * WanSelfAttention(cfg, name="self_attn")(xn.astype(cfg.dtype), pe)
         # cross-attn has its own (affine) norm, no modulation
-        xn = nn.LayerNorm(epsilon=cfg.eps, dtype=jnp.float32, name="norm3")(x)
+        xn = LayerNormF32(eps=cfg.eps, name="norm3")(x)
         x = x + WanCrossAttention(cfg, name="cross_attn")(xn.astype(cfg.dtype), context)
         xn = ln("norm2")(x) * (1 + sc2) + sh2
         ff = nn.gelu(nn.Dense(cfg.ffn_dim // cfg.tp_size, dtype=cfg.dtype,
@@ -277,8 +276,7 @@ class WanModel(nn.Module):
                               (1, 2, cfg.hidden), jnp.float32)
         he = head_mod + te.astype(jnp.float32)[:, None]
         sh, sc = he[:, 0][:, None], he[:, 1][:, None]
-        tn = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=cfg.eps,
-                          dtype=jnp.float32, name="head_norm")(tokens)
+        tn = layernorm_na(tokens, cfg.eps)
         tn = tn * (1 + sc) + sh
         out = nn.Dense(cfg.out_channels * pf * ph * pw, dtype=jnp.float32,
                        name="head")(tn.astype(jnp.float32))

@@ -1,0 +1,141 @@
+"""Fused single-pass row normalization (LayerNorm / RMSNorm) for TPU.
+
+Why this exists (measured, v5e, 2026-08-18): the profiled SDXL-1024 forward
+spends 0.47 ms of every 5.8 ms depth-10 transformer body in "LayerNorm
+reduce fusions" — ~16x the raw byte cost of the (1024, 1280) bf16 rows.
+XLA lowers `nn.LayerNorm(dtype=f32)` on bf16 activations into separate
+reduce fusions with materialized fp32 intermediates; a single Pallas pass
+(bf16 in -> fp32 statistics in VMEM -> bf16 out) removes the HBM round
+trips.  The reference has no analogue (torch eager LayerNorm,
+/root/reference/src/LanPaint has no model code at all); this is a
+TPU-native lever on the backbone we own.
+
+Numerical contract: identical math to the jnp fallback (`layernorm_ref` /
+`rmsnorm_ref`): cast up to fp32, E[x]/E[x^2] row statistics, rsqrt(var+eps),
+optional affine, cast back to the input dtype.  tests/test_norms.py checks
+CPU fallback == nn.LayerNorm exactly and (on the chip) Pallas == fallback.
+
+Alignment gate: the kernel runs only when the feature dim is a multiple of
+128 and the flattened row count is a multiple of 8; anything else takes the
+fallback, so any shape works everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# rows per program: bf16 wants sublane multiples of 16; 256 keeps the block
+# (256, C<=5120) comfortably inside scoped VMEM with fp32 internals.
+_MAX_ROW_TILE = 256
+_MAX_FEATURES = 8192
+
+
+def _row_tile(n: int) -> int:
+    t = _MAX_ROW_TILE
+    while t > 8 and n % t:
+        t //= 2
+    return t
+
+
+def _norm_kernel(x_ref, g_ref, b_ref, o_ref, *, eps: float, rms: bool,
+                 affine: bool):
+    x = x_ref[...].astype(jnp.float32)
+    if rms:
+        ms = jnp.mean(x * x, axis=-1, keepdims=True)
+        y = x * jax.lax.rsqrt(ms + eps)
+    else:
+        # E[x^2] - E[x]^2 — bit-matches flax nn.LayerNorm's _compute_stats
+        # and needs only one pass over the row
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu
+        y = (x - mu) * jax.lax.rsqrt(var + eps)
+    if affine:
+        y = y * g_ref[...].astype(jnp.float32)
+        if b_ref is not None:
+            y = y + b_ref[...].astype(jnp.float32)
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+def _can_fuse(n: int, c: int) -> bool:
+    return (jax.default_backend() == "tpu" and c % 128 == 0
+            and c <= _MAX_FEATURES and n % 8 == 0)
+
+
+def _pallas_norm(x2, gamma, beta, eps: float, rms: bool):
+    n, c = x2.shape
+    t = _row_tile(n)
+    row_block = pl.BlockSpec((t, c), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+    vec_block = pl.BlockSpec((1, c), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    affine = gamma is not None
+    operands = [x2]
+    in_specs = [row_block]
+    if affine:
+        operands.append(gamma.reshape(1, c))
+        in_specs.append(vec_block)
+        if beta is not None:
+            operands.append(beta.reshape(1, c))
+            in_specs.append(vec_block)
+    kernel = functools.partial(_norm_kernel, eps=eps, rms=rms, affine=affine)
+    if not affine:
+        kernel = lambda x_ref, o_ref: _norm_kernel(  # noqa: E731
+            x_ref, None, None, o_ref, eps=eps, rms=rms, affine=False)
+    elif beta is None:
+        kernel = lambda x_ref, g_ref, o_ref: _norm_kernel(  # noqa: E731
+            x_ref, g_ref, None, o_ref, eps=eps, rms=rms, affine=True)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // t,),
+        in_specs=in_specs,
+        out_specs=row_block,
+        out_shape=jax.ShapeDtypeStruct((n, c), x2.dtype),
+    )(*operands)
+
+
+def layernorm_ref(x, gamma=None, beta=None, eps: float = 1e-5):
+    """fp32-statistics LayerNorm over the last axis (jnp; any backend)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    # same statistics formula as flax nn.LayerNorm (E[x^2] - E[x]^2)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if gamma is not None:
+        y = y * gamma.astype(jnp.float32)
+    if beta is not None:
+        y = y + beta.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def rmsnorm_ref(x, gamma=None, eps: float = 1e-6):
+    xf = x.astype(jnp.float32)
+    y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    if gamma is not None:
+        y = y * gamma.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def fused_layernorm(x, gamma=None, beta=None, eps: float = 1e-5):
+    """LayerNorm over the last axis; Pallas single-pass on TPU when aligned,
+    exact jnp fallback otherwise.  Output dtype == input dtype."""
+    c = x.shape[-1]
+    n = x.size // c
+    if not _can_fuse(n, c):
+        return layernorm_ref(x, gamma, beta, eps)
+    out = _pallas_norm(x.reshape(n, c), gamma, beta, eps, rms=False)
+    return out.reshape(x.shape)
+
+
+def fused_rmsnorm(x, gamma=None, eps: float = 1e-6):
+    """RMSNorm over the last axis; Pallas on TPU when aligned."""
+    c = x.shape[-1]
+    n = x.size // c
+    if not _can_fuse(n, c):
+        return rmsnorm_ref(x, gamma, eps)
+    out = _pallas_norm(x.reshape(n, c), gamma, None, eps, rms=True)
+    return out.reshape(x.shape)

@@ -7,16 +7,23 @@ multi-chip sharding paths compile and execute without TPU hardware.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# LANPAINT_TEST_TPU=1 (set by bench.py's on-chip selftest) leaves the real
+# TPU platform in place so the `skipif(backend == "cpu")` Pallas/attention
+# cases actually RUN; without it they silently skip and the gate is vacuous.
+_ON_CHIP = os.environ.get("LANPAINT_TEST_TPU") == "1"
+
+if not _ON_CHIP:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402  (import after env setup)
 
 # The environment's sitecustomize force-registers the TPU backend and sets
 # JAX_PLATFORMS before we run; the config update (post-import) wins.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_CHIP:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

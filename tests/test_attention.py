@@ -34,6 +34,27 @@ def test_flash_matches_xla_on_tpu(key):
                                np.asarray(o2, np.float32), atol=2e-3)
 
 
+@pytest.mark.skipif(jax.default_backend() == "cpu",
+                    reason="splash kernel is TPU-only")
+def test_splash_matches_flash_on_tpu(key):
+    """The SDXL-1024 level-1 shape (S=4096, H=10, D=64) routed to splash
+    must agree with the legacy flash kernel."""
+    q = jax.random.normal(key, (1, 4096, 10, 64), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), q.shape, jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), q.shape, jnp.bfloat16)
+    o1 = attention_bshd(q, k, v, impl="flash")    # legacy kernel, always
+    o2 = attention_bshd(q, k, v, impl="splash")
+    np.testing.assert_allclose(np.asarray(o1, np.float32),
+                               np.asarray(o2, np.float32), atol=2e-3)
+    # batched path goes through vmap
+    qb = jnp.concatenate([q, q * 0.5], axis=0)
+    kb = jnp.concatenate([k, k], axis=0)
+    vb = jnp.concatenate([v, v], axis=0)
+    ob = attention_bshd(qb, kb, vb, impl="splash")
+    np.testing.assert_allclose(np.asarray(ob[0], np.float32),
+                               np.asarray(o2[0], np.float32), atol=2e-3)
+
+
 def test_rope_preserves_norm(key):
     """RoPE rotations are orthogonal: per-head vector norms unchanged."""
     ids = jnp.tile(jnp.arange(8)[None, :, None], (1, 1, 3))
