@@ -25,6 +25,9 @@ Optional same-run measurement blocks (each adds a full compile+timing):
   emitted ONLY when measured in the same run — never a replayed constant.
 * LANPAINT_BENCH_QKV=1    — the UNFUSED-QKV layout A/B (r3 measured the
   shipped fusion at -1.058 s / MFU 0.227 -> 0.249).
+* LANPAINT_BENCH_SPLASH (default ON; 0 disables) — legacy-flash A/B of the
+  same program (module-level USE_SPLASH flip): splash_delta_s < 0 means the
+  splash kernel is faster end-to-end.
 * LANPAINT_BENCH_B4 (default ON; 0 disables) — B=4 serving-lane
   throughput (r3: 0.91x of 4 x B=1 — batching does NOT amortize this
   workload; see docs/architecture.md).
@@ -148,6 +151,7 @@ def _tpu_selftest() -> str:
             # terribly (observed >15 min vs ~2 min single-process)
             [sys.executable, "-m", "pytest", "tests/test_fused.py",
              "tests/test_attention.py", "tests/test_norms.py",
+             "tests/test_onchip.py",
              "-q", "-n", "0", "-p", "no:cacheprovider"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=900,
@@ -264,6 +268,21 @@ def main():
         secs_unfused = _time_path(fused=False, fused_qkv=False)
         result["qkv_unfused_seconds"] = round(secs_unfused, 3)
         result["qkv_fusion_delta_s"] = round(secs - secs_unfused, 3)
+    if os.environ.get("LANPAINT_BENCH_SPLASH") != "0":
+        # splash-attention A/B (default ON this round): same program with
+        # LANPAINT_SPLASH=0 semantics — the legacy flash kernel at the
+        # S=4096 SDXL shape.  Measured in the SAME run (the r3 crash means
+        # no prior end-to-end splash number exists).  negative delta =
+        # splash is faster.
+        from lanpaint_tpu.models import layers as _layers
+
+        _layers.USE_SPLASH = False
+        try:
+            secs_flash = _time_path(fused=False)
+        finally:
+            _layers.USE_SPLASH = True
+        result["flash_seconds"] = round(secs_flash, 3)
+        result["splash_delta_s"] = round(secs - secs_flash, 3)
     if os.environ.get("LANPAINT_BENCH_B4") != "0":
         # serving-batch throughput: B=4 data-parallel lanes on the one chip
         # (the serve.py batcher's shape, serve.py:314) — amortizes weight

@@ -91,7 +91,16 @@ def _flash_block_sizes(s_padded: int, block: int):
 
 @functools.lru_cache(maxsize=32)
 def _splash_kernel(s: int, h: int):
-    """Cached splash-attention kernel for a full (non-causal) S x S mask."""
+    """Cached splash-attention kernel for a full (non-causal) S x S mask.
+
+    Built under `jax.ensure_compile_time_eval()`: make_splash_mha
+    materializes its mask-info arrays with jnp.array at construction, and
+    the first construction typically happens INSIDE a trace (the engine's
+    `lax.while_loop` body).  Without the eval guard those arrays become
+    trace-local constants, and reusing the cached kernel under a different
+    trace leaks them (UnexpectedTracerError — the BENCH_r03 crash).  With
+    it they are concrete device arrays, so the cache is trace-safe.
+    """
     from jax.experimental.pallas.ops.tpu.splash_attention import (
         splash_attention_kernel as sk,
         splash_attention_mask as sm,
@@ -99,27 +108,44 @@ def _splash_kernel(s: int, h: int):
 
     mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
     bkv = min(SPLASH_BLOCK_KV, s)
-    return sk.make_splash_mha(
-        mask=mask, head_shards=1, q_seq_shards=1,
-        block_sizes=sk.BlockSizes(block_q=min(SPLASH_BLOCK_Q, s),
-                                  block_kv=bkv,
-                                  block_kv_compute=min(bkv, 512)))
+    with jax.ensure_compile_time_eval():
+        return sk.make_splash_mha(
+            mask=mask, head_shards=1, q_seq_shards=1,
+            block_sizes=sk.BlockSizes(block_q=min(SPLASH_BLOCK_Q, s),
+                                      block_kv=bkv,
+                                      block_kv_compute=min(bkv, 512)))
 
 
 def _splash_attention(q, k, v, scale: float):
-    """(B, S, H, D) non-causal self-attention via the splash kernel."""
+    """(B, S, H, D) non-causal self-attention via the splash kernel.
+
+    Unaligned S is zero-padded up to the kv block size with SegmentIds
+    masking (padding isolated in segment 1 — it attends only to itself, so
+    softmax stays valid; the garbage rows are sliced off).  This is what
+    admits the Wan video shape S=5400 (padded to 6144)."""
     b, s, h, d = q.shape
-    kern = _splash_kernel(s, h)
+    pad = (-s) % SPLASH_BLOCK_KV
+    seg = None
+    if pad:
+        from jax.experimental.pallas.ops.tpu.splash_attention import (
+            splash_attention_kernel as sk,
+        )
+
+        padw = ((0, 0), (0, pad), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
+        ids = (jnp.arange(s + pad) >= s).astype(jnp.int32)
+        seg = sk.SegmentIds(q=ids, kv=ids)
+    kern = _splash_kernel(s + pad, h)
 
     def one(qi, ki, vi):
         o = kern(jnp.transpose(qi * scale, (1, 0, 2)),
                  jnp.transpose(ki, (1, 0, 2)),
-                 jnp.transpose(vi, (1, 0, 2)))
+                 jnp.transpose(vi, (1, 0, 2)),
+                 segment_ids=seg)
         return jnp.transpose(o, (1, 0, 2))
 
-    if b == 1:
-        return one(q[0], k[0], v[0])[None]
-    return jax.vmap(one)(q, k, v)
+    out = one(q[0], k[0], v[0])[None] if b == 1 else jax.vmap(one)(q, k, v)
+    return out[:, :s] if pad else out
 
 
 def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
@@ -134,9 +160,26 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
     H=10, 0.81 vs 1.18 ms at S=1024 H=20, the SDXL-1024 shapes).
     Unaligned sequence lengths are zero-padded to the flash block size with
     segment-id masking, so any S works.
+
+    Explicit "flash"/"splash" require SELF-attention (s == sk) and a TPU
+    backend — both kernels are built around a square S x S layout (the
+    legacy path pads q and kv with ONE shared segment-id vector; splash
+    builds a FullMask((s, s))), so a cross-attention call would silently
+    attend to garbage.  "splash" on a short/misaligned S falls back to the
+    legacy flash kernel (the splash block layout needs S % block == 0);
+    the kernel actually used is a perf detail, the math is identical.
     """
     b, s, h, d = q.shape
     sk = k.shape[1]
+    if impl in ("flash", "splash"):
+        if s != sk:
+            raise ValueError(
+                f"impl={impl!r} supports only self-attention (s == sk); got "
+                f"s={s}, sk={sk}. Use impl='xla'/'auto' for cross-attention.")
+        if jax.default_backend() != "tpu":
+            raise ValueError(
+                f"impl={impl!r} is a Pallas TPU kernel; current backend is "
+                f"{jax.default_backend()!r}. Use impl='xla' or 'auto'.")
     use_flash = impl in ("flash", "splash") or (
         impl == "auto"
         and jax.default_backend() == "tpu"
@@ -149,12 +192,12 @@ def attention_bshd(q, k, v, impl: str = "auto", sm_scale=None):
         )
 
         scale = (1.0 / math.sqrt(d)) if sm_scale is None else sm_scale
-        # "auto"/"splash" prefer the splash kernel on aligned long sequences
-        # (measured faster at S=4096; see USE_SPLASH note).  Explicit
-        # impl="flash" always means the legacy kernel.
+        # "auto"/"splash" prefer the splash kernel on long sequences
+        # (measured faster at S=4096; see USE_SPLASH note); unaligned S is
+        # padded with segment-id masking inside _splash_attention.
+        # Explicit impl="flash" always means the legacy kernel.
         if (impl != "flash" and USE_SPLASH and s >= SPLASH_MIN_S
-                and s % min(SPLASH_BLOCK_Q, s) == 0
-                and s % min(SPLASH_BLOCK_KV, s) == 0):
+                and d % 64 == 0):
             return _splash_attention(q, k, v, scale)
         pad = (-s) % FLASH_BLOCK
         seg = None
@@ -211,13 +254,14 @@ class GroupNorm32(nn.Module):
 
 def layernorm_na(x, eps: float = 1e-6):
     """No-affine LayerNorm with fp32 statistics (the adaLN pre-norm used by
-    every DiT block).  Fused Pallas single pass on TPU; returns x.dtype (the
-    fp32 nn.LayerNorm output was always immediately modulated and downcast —
-    same result, minus an fp32 HBM round trip)."""
+    every DiT block).  Fused Pallas single pass on TPU; returns FP32 — every
+    consumer modulates (`(1+scale)*x + shift`) before downcasting, and that
+    modulation must run at full precision (downcasting the norm output first
+    costs ~2.6e-3 rel error on the Wan TP equality tests; VERDICT r3)."""
     if FUSED_NORM:
-        return fused_layernorm(x, eps=eps)
+        return fused_layernorm(x, eps=eps, out_dtype=jnp.float32)
     return nn.LayerNorm(use_bias=False, use_scale=False, epsilon=eps,
-                        dtype=jnp.float32)(x).astype(x.dtype)
+                        dtype=jnp.float32)(x)
 
 
 class LayerNormF32(nn.Module):

@@ -66,9 +66,10 @@ def _can_fuse(n: int, c: int) -> bool:
             and c <= _MAX_FEATURES and n % 8 == 0)
 
 
-def _pallas_norm(x2, gamma, beta, eps: float, rms: bool):
+def _pallas_norm(x2, gamma, beta, eps: float, rms: bool, out_dtype=None):
     n, c = x2.shape
     t = _row_tile(n)
+    out_dtype = x2.dtype if out_dtype is None else out_dtype
     row_block = pl.BlockSpec((t, c), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
     vec_block = pl.BlockSpec((1, c), lambda i: (0, 0),
@@ -94,11 +95,12 @@ def _pallas_norm(x2, gamma, beta, eps: float, rms: bool):
         grid=(n // t,),
         in_specs=in_specs,
         out_specs=row_block,
-        out_shape=jax.ShapeDtypeStruct((n, c), x2.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, c), out_dtype),
     )(*operands)
 
 
-def layernorm_ref(x, gamma=None, beta=None, eps: float = 1e-5):
+def layernorm_ref(x, gamma=None, beta=None, eps: float = 1e-5,
+                  out_dtype=None):
     """fp32-statistics LayerNorm over the last axis (jnp; any backend)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
@@ -109,7 +111,7 @@ def layernorm_ref(x, gamma=None, beta=None, eps: float = 1e-5):
         y = y * gamma.astype(jnp.float32)
     if beta is not None:
         y = y + beta.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return y.astype(x.dtype if out_dtype is None else out_dtype)
 
 
 def rmsnorm_ref(x, gamma=None, eps: float = 1e-6):
@@ -120,14 +122,19 @@ def rmsnorm_ref(x, gamma=None, eps: float = 1e-6):
     return y.astype(x.dtype)
 
 
-def fused_layernorm(x, gamma=None, beta=None, eps: float = 1e-5):
+def fused_layernorm(x, gamma=None, beta=None, eps: float = 1e-5,
+                    out_dtype=None):
     """LayerNorm over the last axis; Pallas single-pass on TPU when aligned,
-    exact jnp fallback otherwise.  Output dtype == input dtype."""
+    exact jnp fallback otherwise.  Output dtype == input dtype unless
+    out_dtype is given (the paramless adaLN pre-norm asks for fp32 so the
+    modulation that follows happens at full precision — the kernel's
+    statistics are fp32 in VMEM either way, only the store widens)."""
     c = x.shape[-1]
     n = x.size // c
     if not _can_fuse(n, c):
-        return layernorm_ref(x, gamma, beta, eps)
-    out = _pallas_norm(x.reshape(n, c), gamma, beta, eps, rms=False)
+        return layernorm_ref(x, gamma, beta, eps, out_dtype=out_dtype)
+    out = _pallas_norm(x.reshape(n, c), gamma, beta, eps, rms=False,
+                       out_dtype=out_dtype)
     return out.reshape(x.shape)
 
 
