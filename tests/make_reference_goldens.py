@@ -59,9 +59,21 @@ class DrawRecorder:
         recorder = self
 
         class FakeMVN:
-            """loc + scale_tril @ eps — exactly MultivariateNormal.sample's law."""
+            """loc + scale_tril @ eps — exactly MultivariateNormal.sample's law.
+
+            Like the real torch.distributions.MultivariateNormal (which
+            validates args by default), construction raises ValueError when
+            loc/scale_tril are non-finite — BEFORE any draw is consumed.
+            That is what routes the reference into run_overdamped at
+            friction=0 (lanpaint.py:244 catches it): verified against real
+            torch 2026-08-19 — MVN(..., nan) raises at __init__ with zero
+            RNG consumption."""
 
             def __init__(self, loc, scale_tril):
+                t = recorder.torch
+                if not bool(t.isfinite(loc).all() & t.isfinite(scale_tril).all()):
+                    raise ValueError("Expected parameter loc/scale_tril to "
+                                     "satisfy finiteness constraints")
                 self.loc = loc
                 self.scale_tril = scale_tril
 
@@ -113,7 +125,8 @@ def make_dummy_model(torch, g, kind):
 
 def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
              lamb=16.0, step_size=0.2, beta=1.0, friction=15.0, data_seed=0,
-             stop_threshold=0.0, stop_patience=1, custom_distance=False):
+             stop_threshold=0.0, stop_patience=1, custom_distance=False,
+             expect_fallback=False):
     rng = np.random.default_rng(data_seed)
     b = shape[0]
     x = rng.standard_normal(shape).astype(np.float32)
@@ -173,14 +186,28 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
 
     # think iterations actually executed (early stop may break before
     # n_steps); each langevin iteration = 1 model call, + 1 final denoise.
-    executed = calls["n"] - 1
     tags = [t for t, _ in rec.log]
-    expected = [] if executed == 0 else (
-        ["randn", "mvn"] + ["mvn", "mvn"] * (executed - 1))
+    if expect_fallback:
+        # NaN/overdamped regime (lanpaint.py:241-250).  Per iteration:
+        #   cold: run_damped does Coef_C (model call) + v-init randn, then
+        #         MVN __init__ raises (NO mvn draw) -> run_overdamped does
+        #         Coef_C AGAIN (2nd model call, same x_t) + one randn.
+        #   warm: run_damped's first advance_time draws the v-init randn
+        #         then raises BEFORE its Coef_C -> run_overdamped: randn
+        #         (half 1) + Coef_C (the only model call) + randn (half 2).
+        # So calls = 2 + (executed-1) + 1 final.
+        executed = calls["n"] - 2
+        expected = [] if executed <= 0 else (
+            ["randn", "randn"] + ["randn", "randn", "randn"] * (executed - 1))
+    else:
+        executed = calls["n"] - 1
+        expected = [] if executed == 0 else (
+            ["randn", "mvn"] + ["mvn", "mvn"] * (executed - 1))
     if tags != expected:
         raise RuntimeError(
             f"{name}: unexpected draw sequence {tags} (expected {expected}) — "
-            "the reference hit the overdamped fallback or changed structure")
+            "the reference hit (or missed) the overdamped fallback or "
+            "changed structure")
 
     arrays = {
         "x": x, "latent": latent, "noise": noise, "mask": mask, "g": g,
@@ -191,6 +218,7 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
         "stop": np.array([stop_threshold, stop_patience, executed,
                           float(custom_distance)], np.float32),
         "kind": np.array(1 if kind == "flow" else 0, np.int32),
+        "fallback": np.array(1 if expect_fallback else 0, np.int32),
     }
     for j, (_, a) in enumerate(rec.log):
         arrays[f"draw{j}"] = a
@@ -271,6 +299,20 @@ def main():
                           [0.8], 12, (1, 4, 8, 8), data_seed=9,
                           stop_threshold=0.3, stop_patience=1,
                           custom_distance=True))
+    # NaN/overdamped regime (VERDICT r3 task 4): friction=0 (a legal UI
+    # value, reference nodes.py:372 range 0-50) makes Gamma=0 -> the damped
+    # SHO coefficients are NaN -> MultivariateNormal.__init__ raises ->
+    # run_overdamped retries EVERY iteration (lanpaint.py:241-250).  With a
+    # deterministic model the reference's retry (fresh Coef_C chain) and our
+    # per-element select evaluate the model at the SAME points, so parity
+    # here is exact; the semantics only diverge on PARTIAL NaN (one region
+    # finite, one not) where the reference retries the whole step.
+    cases.update(run_case(lanpaint_mod, torch, "eps_nanfallback", "eps",
+                          [1.1], 1, (1, 4, 8, 8), friction=0.0,
+                          data_seed=10, expect_fallback=True))
+    cases.update(run_case(lanpaint_mod, torch, "eps_nanfallback_warm", "eps",
+                          [0.7], 3, (1, 4, 8, 8), friction=0.0,
+                          data_seed=11, expect_fallback=True))
     cases.update(run_maskblend_cases(torch))
 
     import os

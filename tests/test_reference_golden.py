@@ -39,7 +39,7 @@ DATA = os.path.join(os.path.dirname(__file__), "data", "reference_goldens.npz")
 
 CASES = ["eps_n3", "eps_n1", "eps_n0", "eps_b2", "flow_n3",
          "flow_n2_video", "eps_params", "eps_earlystop", "eps_earlystop_p2",
-         "eps_customdist"]
+         "eps_customdist", "eps_nanfallback", "eps_nanfallback_warm"]
 
 
 @pytest.fixture(scope="module")
@@ -47,19 +47,40 @@ def goldens():
     return np.load(DATA)
 
 
-def build_noise_feed(z, name, n_steps, executed, shape):
+def build_noise_feed(z, name, n_steps, executed, shape, fallback=False):
     """Map the reference's recorded draw sequence onto the engine's
     (n_max, 5, *shape) feed: slots [eps_y1, eps_v1, eps_y2, eps_v2, v_stat].
 
     `executed` is how many think iterations the reference actually ran
     (early stop may break before n_steps); the feed only holds draws for
     those — if the engine's stop logic diverged and it consumed more, the
-    clamped feed rows guarantee a mismatch the output assertions catch."""
+    clamped feed rows guarantee a mismatch the output assertions catch.
+
+    `fallback` (NaN/overdamped regime, friction=0): the reference's damped
+    attempt consumes a v-init randn then MVN.__init__ raises (no mvn draw)
+    and run_overdamped draws fresh randns (lanpaint.py:241-250; draw tags
+    recorded by make_reference_goldens.py).  Our engine computes both
+    branches from ONE draw set and selects — so the overdamped randns map
+    to eps_y1/eps_y2 and the dead v-init draw to v_stat:
+        cold: [v_init, od]            -> feed[0] = (od, -, -, -, v_init)
+        warm: [v_init, od1, od2]      -> feed[j] = (od1, -, od2, -, v_init)
+    """
     n_max = max(n_steps, 1)
     feed = np.zeros((n_max, 5) + shape, np.float32)
     if executed == 0:
         return feed
     draws = [z[f"{name}/draw{j}"] for j in range(int(z[f"{name}/n_draws"]))]
+    if fallback:
+        feed[0, 4] = draws[0]
+        feed[0, 0] = draws[1]
+        k = 2
+        for j in range(1, executed):
+            feed[j, 4] = draws[k]
+            feed[j, 0] = draws[k + 1]
+            feed[j, 2] = draws[k + 2]
+            k += 3
+        assert k == len(draws)
+        return feed
     # cold step: [v0-randn, mvn]; mvn eps shape (*shape, 2) -> (y, v)
     feed[0, 4] = draws[0]
     feed[0, 0] = draws[1][..., 0]
@@ -104,7 +125,9 @@ def test_reference_parity(goldens, name):
         n_steps=max(n_steps, 1), lamb=lamb, step_size=step_size, beta=beta,
         friction=friction, inner_threshold=stop_threshold,
         inner_patience=int(stop_patience), distance_fn=distance_fn)
-    feed = build_noise_feed(z, name, n_steps, int(executed), x.shape)
+    fallback = f"{name}/fallback" in z and int(z[f"{name}/fallback"]) == 1
+    feed = build_noise_feed(z, name, n_steps, int(executed), x.shape,
+                            fallback=fallback)
 
     import jax
 
