@@ -100,8 +100,12 @@ class LanPaintSampler:
         self._params = (
             jax.device_put(model.params) if model.params is not None else None
         )
-        self._jit_inpaint = jax.jit(self._run_inpaint)
-        self._jit_plain = jax.jit(self._run_plain)
+        # dpm_fast_range is static: it selects which (atomic) solver groups
+        # a chunked dpm_fast launch executes — program structure, not data.
+        self._jit_inpaint = jax.jit(self._run_inpaint,
+                                    static_argnames=("dpm_fast_range",))
+        self._jit_plain = jax.jit(self._run_plain,
+                                  static_argnames=("dpm_fast_range",))
 
     # -- compiled bodies ---------------------------------------------------
 
@@ -116,7 +120,8 @@ class LanPaintSampler:
 
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,
                      denoise_mask, cond, uncond, key, tables,
-                     step_offset, total_steps, carry_in):
+                     step_offset, total_steps, carry_in,
+                     dpm_fast_range=None):
         # step_offset/total_steps: global position of this (possibly
         # chunked) ladder segment — the RNG stream, outer-early-stop index
         # and callback step numbers stay those of the single-launch
@@ -153,10 +158,11 @@ class LanPaintSampler:
             callback=self.callback, tables=tables, step_offset=step_offset,
             carry_in=carry_in, return_carry=True,
             collect_aux=self.return_aux,
+            dpm_fast_range=dpm_fast_range,
         )
 
     def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables,
-                   step_offset, carry_in):
+                   step_offset, carry_in, dpm_fast_range=None):
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
 
@@ -171,6 +177,7 @@ class LanPaintSampler:
             wrapped, x_init, sigmas, sampler=self.sampler_name, key=key,
             callback=self.callback, tables=tables, step_offset=step_offset,
             carry_in=carry_in, return_carry=True,
+            dpm_fast_range=dpm_fast_range,
         )
 
     # -- runtime entry -----------------------------------------------------
@@ -201,8 +208,10 @@ class LanPaintSampler:
         threaded across segment boundaries as a SolverCarry, and deis
         coefficients are precomputed from the FULL ladder then sliced per
         segment; heunpp2's three full-ladder scalars ride its per-step
-        table rows.  Only dpm_fast rejects chunking (its order grouping
-        reads the full ladder at once).  Use at video scale: bounds
+        table rows; dpm_fast chunks at its atomic group granularity (each
+        launch gets the full ladder plus a static group range, so grid,
+        grouping and RNG stream match the single launch exactly — launch
+        boundaries snap to group boundaries).  Use at video scale: bounds
         single-execution device time (the remote-TPU transport kills
         executions beyond ~1 min) and gives the serving layer per-chunk
         progress/cancellation points.
@@ -236,20 +245,31 @@ class LanPaintSampler:
         total = int(sigmas.shape[0]) - 1
         denoise_mask = (None if mask is None
                         else prepare_mask(mask, latent.shape, video))
-        if chunk_steps is not None and self.sampler_name == "dpm_fast":
-            raise ValueError(
-                "chunk_steps is not supported with dpm_fast: its order-3/2/1 "
-                "step grouping spans the whole ladder, so a segment-local "
-                "ladder silently changes the algorithm.  (heunpp2 IS "
-                "chunk-safe: its three full-ladder scalars ride the "
-                "prepare_tables('heunpp2') per-step rows.)")
         chunk = total if not chunk_steps else max(1, int(chunk_steps))
         if total <= 0:
             return (inverse_noise_scaling(kind, sigmas[-1:], x_init),
                     jnp.zeros((0,) + x_init.shape, x_init.dtype))
 
         sig_host = np.asarray(sigmas)
-        if chunk < total:
+        # dpm_fast chunking works on GROUPS (its order-3/2/1 multi-call
+        # updates are atomic): each launch executes a contiguous group range
+        # against the FULL ladder, so the t grid, the fold_in(key, g) stream
+        # and the order grouping are exactly those of the single launch —
+        # bit-identical, with launch boundaries snapped to group boundaries
+        # (a chunk may therefore span up to chunk_steps+2 grid steps).
+        dpm_ranges = None
+        if chunk_steps is not None and self.sampler_name == "dpm_fast":
+            orders = samplers.dpm_fast_groups(total)
+            dpm_ranges = []
+            g0, span = 0, 0
+            for g, o in enumerate(orders):
+                if span and span + o > chunk:
+                    dpm_ranges.append((g0, g, False))
+                    g0, span = g, 0
+                span += o
+            dpm_ranges.append((g0, len(orders), True))
+        chunked = (chunk < total) if dpm_ranges is None else len(dpm_ranges) > 1
+        if chunked:
             # Pin per-call constants to the device before the launch loop:
             # host-resident jit arguments re-upload on EVERY launch, and on
             # the tunneled TPU backend that transfer dwarfs the compute
@@ -273,19 +293,27 @@ class LanPaintSampler:
         # segment) so chunked launches see the same per-step rows as the
         # single launch — segment-local ladders would re-taper the order.
         full_tables = samplers.prepare_tables(self.sampler_name, sig_host)
-        for start in range(0, total, chunk):
-            end = min(start + chunk, total)
-            seg = sigmas[start:end + 1]
-            tables = {k: v[start:end] for k, v in full_tables.items()}
+        if dpm_ranges is not None:
+            # every dpm_fast launch sees the full ladder; the static group
+            # range selects its share of the work
+            segments = [(sigmas, full_tables, 0, r) for r in dpm_ranges]
+        else:
+            segments = []
+            for start in range(0, total, chunk):
+                end = min(start + chunk, total)
+                segments.append((sigmas[start:end + 1],
+                                 {k: v[start:end] for k, v in full_tables.items()},
+                                 start, None))
+        for seg, tables, start, g_range in segments:
             if denoise_mask is None:
                 x, den, carry = self._jit_plain(
                     params, x, seg, cond, uncond, k_solve, tables,
-                    jnp.int32(start), carry)
+                    jnp.int32(start), carry, dpm_fast_range=g_range)
             else:
                 x, den, carry = self._jit_inpaint(
                     params, x, think_noise, seg, latent, denoise_mask, cond,
                     uncond, k_solve, tables, jnp.int32(start),
-                    jnp.int32(total), carry)
+                    jnp.int32(total), carry, dpm_fast_range=g_range)
                 if self.return_aux:
                     den, aux = den
                     aux_parts.append(aux)

@@ -616,14 +616,30 @@ def _dpm_fast_orders(m: int):
     return [3] * (m // 3) + [2]
 
 
-def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
+def dpm_fast_groups(total_steps: int):
+    """The (static) order grouping for a `total_steps`-step ladder.
+
+    Groups are ATOMIC multi-model-call updates — the chunkable unit for
+    dpm_fast (api chunk_steps chunking snaps to group boundaries)."""
+    return _dpm_fast_orders(max(total_steps - 1, 1))
+
+
+def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False,
+                     g_range=None):
     """DPM-Solver-fast: uniform grid in t = -log sigma between the ladder's
     endpoints, order-3 groups scanned (one compiled 3-call body) + a 1/2
     order tail, then a final denoise at sigma_min.  Only the grouping is
     static (depends on len(sigmas)); the grid itself is traced.  Assumes the
     ladder ends at 0 (the api always appends it).  With collect_aux the
     model returns (den, x, aux) and per-group first-call aux stacks ride
-    along (see sample())."""
+    along (see sample()).
+
+    `g_range=(g0, g1, include_final)` runs only groups [g0, g1) (plus the
+    final sigma_min denoise when include_final) — the chunked-launch path.
+    `sigmas` must still be the FULL ladder: the t grid and the
+    fold_in(key, g) stream are derived from it, so a chunked run is
+    bit-identical to the single launch (same elementwise grid math on the
+    same inputs, same global group indices)."""
     n = sigmas.shape[0] - 1
     m = max(n - 1, 1)
     orders = _dpm_fast_orders(m)
@@ -634,6 +650,7 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
     sigma_min = sigmas[-2]
     t0_, t1_ = -jnp.log(sigma_max), -jnp.log(sigma_min)
     ts = t0_ + (t1_ - t0_) * jnp.arange(m + 1, dtype=jnp.float32) / m
+    g0, g1, include_final = (0, len(orders), True) if g_range is None else g_range
 
     def wrapped():
         if not collect_aux:
@@ -645,9 +662,11 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
     dens = []
     auxs = []
     n3 = sum(1 for o in orders if o == 3)
-    if n3:
+    n3_lo, n3_hi = g0, min(g1, n3)  # order-3 groups owned by this range
+    if n3_hi > n3_lo:
         t_pairs = jnp.stack(
-            [jnp.stack([ts[bounds[g]], ts[bounds[g + 1]]]) for g in range(n3)])
+            [jnp.stack([ts[bounds[g]], ts[bounds[g + 1]]])
+             for g in range(n3_lo, n3_hi)])
 
         def body(x, it):
             g, tp = it
@@ -658,14 +677,14 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
                 jax.debug.callback(callback, g, den, x, ordered=False)
             return x, ((den, cell[0]) if collect_aux else den)
 
-        x, ys3 = lax.scan(body, x, (jnp.arange(n3), t_pairs))
+        x, ys3 = lax.scan(body, x, (jnp.arange(n3_lo, n3_hi), t_pairs))
         if collect_aux:
             dens.append(ys3[0])
             auxs.append(ys3[1])
         else:
             dens.append(ys3)
-    for gi, o in enumerate([o for o in orders if o != 3]):
-        g = n3 + gi
+    for g in range(max(g0, n3), g1):
+        o = orders[g]
         k = jax.random.fold_in(key, g)
         fn = _dpm2 if o == 2 else _dpm1
         mm, cell = wrapped()
@@ -675,15 +694,17 @@ def _sample_dpm_fast(model, noise_x, sigmas, key, callback, collect_aux=False):
         dens.append(den[None])
         if collect_aux:
             auxs.append(jax.tree.map(lambda a: a[None], cell[0]))
-    # final denoise at the ladder floor (sigma -> 0 step)
-    mm, cell = wrapped()
-    den, x = mm(x, sigma_min, jax.random.fold_in(key, 9999))
-    x = den
-    if callback is not None:
-        jax.debug.callback(callback, len(orders), den, x, ordered=False)
-    dens.append(den[None])
+    if include_final:
+        # final denoise at the ladder floor (sigma -> 0 step)
+        mm, cell = wrapped()
+        den, x = mm(x, sigma_min, jax.random.fold_in(key, 9999))
+        x = den
+        if callback is not None:
+            jax.debug.callback(callback, len(orders), den, x, ordered=False)
+        dens.append(den[None])
+        if collect_aux:
+            auxs.append(jax.tree.map(lambda a: a[None], cell[0]))
     if collect_aux:
-        auxs.append(jax.tree.map(lambda a: a[None], cell[0]))
         aux_all = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *auxs)
         return x, (jnp.concatenate(dens, axis=0), aux_all)
     return x, jnp.concatenate(dens, axis=0)
@@ -711,6 +732,7 @@ def sample(
     carry_in: SolverCarry = None,
     return_carry: bool = False,
     collect_aux: bool = False,
+    dpm_fast_range=None,
 ):
     """Run the full outer sampling loop as one `lax.scan`.
 
@@ -736,7 +758,8 @@ def sample(
     """
     if sampler == "dpm_fast":
         out = _sample_dpm_fast(model, noise_x, sigmas, key, callback,
-                               collect_aux=collect_aux)
+                               collect_aux=collect_aux,
+                               g_range=dpm_fast_range)
         x, dens = out
         if return_carry:
             return x, dens, init_carry(x)

