@@ -164,6 +164,33 @@ def cmd_serve(args) -> int:
 
 
 def cmd_info(args) -> int:
+    if getattr(args, "census", None):
+        # header-only checkpoint key census vs a family's import table:
+        # the actionable report the first real flux2/krea2/anima checkpoint
+        # needs (their vendored topologies are structural stand-ins —
+        # import_dit_guarded raises; this prints the same diff without
+        # loading a single tensor)
+        from .models.zoo import family_census
+
+        if not args.family:
+            print("info --census requires --family", file=sys.stderr)
+            return 2
+        rep = family_census(args.census, args.family)
+        print(f"family:   {rep['family']}")
+        print(f"expected: {rep['expected']} keys; in file: {rep['in_file']}; "
+              f"matched: {rep['matched']}")
+        for label in ("missing", "leftover"):
+            ks = rep[label]
+            print(f"{label}: {len(ks)}")
+            for k in ks[:20]:
+                print(f"  {k}")
+            if len(ks) > 20:
+                print(f"  ... and {len(ks) - 20} more")
+        print("census: OK — importer covers this file exactly" if rep["ok"]
+              else "census: MISMATCH — update the family config / entry "
+                   "table (see docs/family_facts.md)")
+        return 0 if rep["ok"] else 1
+
     import jax
 
     from .config import LanPaintConfig
@@ -213,7 +240,15 @@ def main(argv=None) -> int:
     p.add_argument("--max-delay-s", type=float, default=0.25)
     p.set_defaults(fn=cmd_serve)
 
-    p = sub.add_parser("info", help="device / config diagnostics")
+    p = sub.add_parser("info", help="device / config diagnostics + "
+                                    "checkpoint key census")
+    p.add_argument("--census", default=None, metavar="CKPT",
+                   help="safetensors checkpoint: print the key diff vs the "
+                        "--family import table (header-only, no tensor "
+                        "loads); exit 0 iff the importer covers it exactly")
+    p.add_argument("--family", default=None,
+                   help="model family for --census (sdxl, flux2-dev, "
+                        "krea2, anima, qwen, wan-14b, ...)")
     p.set_defaults(fn=cmd_info)
 
     args = ap.parse_args(argv)

@@ -740,6 +740,46 @@ def export_hidream(params, cfg, prefix: str = "") -> dict:
 # generic import / export over an entry table
 
 
+def safetensors_header_keys(path: str):
+    """Read ONLY a safetensors file's JSON header: {key: (dtype, shape)}.
+
+    No tensor data is touched (the header is the first `u64-length` bytes),
+    so this works instantly on multi-GB checkpoints — the basis of the
+    `info --census` CLI.  Mirrors load_safetensors' fp8_scaled handling:
+    `<name>.scale_weight` companions are dropped (the loader folds them
+    into `<name>.weight`)."""
+    import json
+    import struct
+
+    with open(path, "rb") as f:
+        (n,) = struct.unpack("<Q", f.read(8))
+        hdr = json.loads(f.read(n))
+    hdr.pop("__metadata__", None)
+    return {k: (v.get("dtype"), tuple(v.get("shape", ())))
+            for k, v in hdr.items() if not k.endswith(".scale_weight")}
+
+
+def key_census(have_keys, want_keys, family: str) -> dict:
+    """Diff a checkpoint's key set against an importer's expected set.
+
+    The actionable report behind import_dit_guarded's error (and the
+    `info --census` CLI): `missing` = keys the import table expects but the
+    file lacks (wrong vendored topology / wrong file), `leftover` = file
+    keys the table would silently drop (wrong key naming / extra
+    submodules)."""
+    have = set(have_keys)
+    want = set(want_keys)
+    return {
+        "family": family,
+        "expected": len(want),
+        "in_file": len(have),
+        "matched": len(want & have),
+        "missing": sorted(want - have),
+        "leftover": sorted(have - want),
+        "ok": want == have,
+    }
+
+
 def expected_keys(entries, prefix: str = ""):
     """The full set of checkpoint keys an entry table consumes."""
     keys = set()

@@ -678,3 +678,74 @@ def build_wan_seq_parallel(
                    sigma_table=FlowSigmaTable(shift=shift), name=name,
                    latent_channels=config.in_channels)
     return den, params
+
+
+# --------------------------------------------------------------------------
+# checkpoint key census (the `info --census` CLI, VERDICT r3 task 8)
+
+
+def family_expected_keys(family: str):
+    """The full checkpoint key set each family's importer consumes.
+
+    The census counterpart of load.import_dit_guarded: lets the first real
+    checkpoint of a STRUCTURAL STAND-IN family (flux2-dev / flux2-klein /
+    krea2 / anima — topologies not retrievable offline, docs/
+    family_facts.md) produce an actionable key diff WITHOUT loading any
+    tensor data.  Works for every family with an entry-table importer."""
+    from . import load as L
+
+    def dit(cfg):
+        return L.expected_keys(L._dit_entries(cfg), "")
+
+    if family in ("sd15", "sd21", "sdxl"):
+        from .unet import SD15_CONFIG, SD21_CONFIG, SDXL_CONFIG
+
+        cfg = {"sd15": SD15_CONFIG, "sd21": SD21_CONFIG,
+               "sdxl": SDXL_CONFIG}[family]
+        return L.expected_keys(L._unet_entries(cfg), "model.diffusion_model.")
+    if family in ("flux-dev", "flux-schnell"):
+        return dit(FLUX_DEV_CONFIG if family == "flux-dev"
+                   else FLUX_SCHNELL_CONFIG)
+    if family in ("flux2-dev", "flux2-klein", "krea2", "anima"):
+        from .dit import ANIMA_CONFIG, FLUX2_DEV_CONFIG, FLUX2_KLEIN_CONFIG, KREA2_CONFIG
+
+        return dit({"flux2-dev": FLUX2_DEV_CONFIG,
+                    "flux2-klein": FLUX2_KLEIN_CONFIG,
+                    "krea2": KREA2_CONFIG, "anima": ANIMA_CONFIG}[family])
+    if family == "qwen":
+        return L.qwen_expected_keys(QWEN_IMAGE_CONFIG)
+    if family == "hidream":
+        from .hidream import HIDREAM_I1_CONFIG
+
+        return L.hidream_expected_keys(HIDREAM_I1_CONFIG)
+    if family in ("sd35-large", "sd35-medium", "sd3-medium"):
+        cfg = {"sd35-large": SD35_LARGE_CONFIG,
+               "sd35-medium": SD35_MEDIUM_CONFIG,
+               "sd3-medium": SD3_MEDIUM_CONFIG}[family]
+        return L.expected_keys(L._sd3_entries(cfg), "model.diffusion_model.")
+    if family == "zimage":
+        from .zimage import Z_IMAGE_S3_CONFIG
+
+        return L.expected_keys(L._zimage_entries(Z_IMAGE_S3_CONFIG), "")
+    if family in ("wan-14b", "wan-5b"):
+        from .wan import WAN22_T2V_14B_CONFIG, WAN22_TI2V_5B_CONFIG
+
+        cfg = WAN22_T2V_14B_CONFIG if family == "wan-14b" else WAN22_TI2V_5B_CONFIG
+        return L.expected_keys(L._wan_entries(cfg), "")
+    if family == "hyvideo":
+        from .hyvideo import HUNYUAN_VIDEO_720P_CONFIG
+
+        return L.expected_keys(L._hyvideo_entries(HUNYUAN_VIDEO_720P_CONFIG), "")
+    raise ValueError(
+        f"no key census for family {family!r}; supported: sd15 sd21 sdxl "
+        "flux-dev flux-schnell flux2-dev flux2-klein krea2 anima qwen "
+        "hidream sd35-large sd35-medium sd3-medium zimage wan-14b wan-5b "
+        "hyvideo")
+
+
+def family_census(checkpoint_path: str, family: str) -> dict:
+    """Header-only key census of a checkpoint vs a family's import table."""
+    from . import load as L
+
+    have = L.safetensors_header_keys(checkpoint_path)
+    return L.key_census(have, family_expected_keys(family), family)

@@ -118,3 +118,74 @@ def test_family_flag_routes_to_from_components(monkeypatch, tmp_path):
                   str(img)])
     assert seen["family"] == "flux" and seen["vae"] == "ae.st"
     assert seen["t5"] == "t5.st" and seen["clip_vocab"] == "v.json"
+
+
+def _write_header_only_ckpt(path, keys):
+    """Minimal safetensors file containing `keys` as 1-float tensors —
+    enough for the header-only census (which never reads tensor data)."""
+    from safetensors.numpy import save_file
+
+    save_file({k: np.zeros((1,), np.float32) for k in keys}, str(path))
+
+
+def test_info_census_exact_match(tmp_path, capsys):
+    """A file whose key set equals the family's import table -> OK, rc 0."""
+    from lanpaint_tpu.models.zoo import family_expected_keys
+
+    want = family_expected_keys("sd15")
+    p = tmp_path / "sd15.safetensors"
+    _write_header_only_ckpt(p, want)
+    rc = cli.main(["info", "--census", str(p), "--family", "sd15"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "census: OK" in out
+    assert f"expected: {len(want)} keys" in out
+
+
+def test_info_census_reports_diff(tmp_path, capsys):
+    """Missing + leftover keys are named and the exit code is 1 — the
+    actionable first-real-checkpoint report for the stand-in families
+    (VERDICT r3 task 8)."""
+    from lanpaint_tpu.models.zoo import family_expected_keys
+
+    want = sorted(family_expected_keys("sd15"))
+    dropped = want[3]
+    keys = [k for k in want if k != dropped] + ["bogus.extra.weight"]
+    p = tmp_path / "bad.safetensors"
+    _write_header_only_ckpt(p, keys)
+    rc = cli.main(["info", "--census", str(p), "--family", "sd15"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "census: MISMATCH" in out
+    assert dropped in out
+    assert "bogus.extra.weight" in out
+
+
+def test_info_census_fp8_scale_companions_ignored(tmp_path):
+    """`.scale_weight` companions are folded into `.weight` by the loader
+    (fp8_scaled format) — the census must not count them as leftover."""
+    from lanpaint_tpu.models.load import safetensors_header_keys
+
+    p = tmp_path / "fp8.safetensors"
+    _write_header_only_ckpt(p, ["a.weight", "a.scale_weight", "b.weight"])
+    keys = safetensors_header_keys(str(p))
+    assert set(keys) == {"a.weight", "b.weight"}
+
+
+def test_info_census_unknown_family(tmp_path):
+    p = tmp_path / "x.safetensors"
+    _write_header_only_ckpt(p, ["k"])
+    with pytest.raises(ValueError, match="no key census"):
+        cli.main(["info", "--census", str(p), "--family", "nope"])
+
+
+def test_family_expected_keys_standins_nonempty():
+    """Every stand-in family must have a census table (the guard that makes
+    the first real checkpoint fail actionably, not with a shape error)."""
+    from lanpaint_tpu.models.zoo import family_expected_keys
+
+    for fam in ("flux2-dev", "flux2-klein", "krea2", "anima",
+                "qwen", "hidream", "zimage", "wan-14b", "wan-5b",
+                "hyvideo", "sdxl", "sd35-large"):
+        keys = family_expected_keys(fam)
+        assert len(keys) > 50, fam
