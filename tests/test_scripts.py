@@ -1,0 +1,32 @@
+"""The measurement scripts in scripts/ must import and expose --help.
+
+These are the perf-campaign entry points (docs/architecture.md lever
+measurements): a bitrotted import there silently kills a round's
+measurement evidence, so the CPU suite gates them like the examples.
+"""
+
+import glob
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPTS = sorted(
+    p for p in glob.glob(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts", "*.py"))
+    if not p.endswith("__init__.py")
+)
+
+
+@pytest.mark.parametrize("script", _SCRIPTS,
+                         ids=[os.path.basename(p) for p in _SCRIPTS])
+def test_script_help_runs(script):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, script, "--help"],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "usage:" in proc.stdout.lower()
