@@ -33,8 +33,11 @@ Optional same-run measurement blocks (each adds a full compile+timing):
   workload; see docs/architecture.md).
 * LANPAINT_BENCH_QUALITY=1 — deterministic masked PSNR/SSIM canary.
 
-tpu_selftest runs tests/test_fused.py + tests/test_attention.py on the real
-chip (the CPU-only CI cannot see Pallas regressions) — ~20 s.  Disable with
+tpu_selftest runs the on-chip test set (test_fused/test_attention/test_norms/
+test_onchip — the Makefile's check-chip) on the real chip: the CPU-only CI
+cannot see Pallas regressions.  Tunnel compiles dominate its runtime; the
+persistent compile cache (tests/conftest.py) makes warm reruns minutes vs
+>15 min cold, and the 2400 s timeout covers a cold run.  Disable with
 LANPAINT_BENCH_SELFTEST=0.
 
 Runs on the single real TPU chip; weights are random-init bf16 (timing is
@@ -154,7 +157,7 @@ def _tpu_selftest() -> str:
              "tests/test_onchip.py",
              "-q", "-n", "0", "-p", "no:cacheprovider"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=2400,
             # run on the REAL chip: without this the tests/conftest.py
             # CPU-forcing makes every skipif(backend=="cpu") case skip and
             # the selftest is vacuous (caught r3)

@@ -24,6 +24,17 @@ import jax  # noqa: E402  (import after env setup)
 # JAX_PLATFORMS before we run; the config update (post-import) wins.
 if not _ON_CHIP:
     jax.config.update("jax_platforms", "cpu")
+else:
+    # On-chip runs share bench.py's persistent compile cache: every compile
+    # goes through the tunnel (~20-40 s each), and the selftest set re-runs
+    # the same programs each round — cold it exceeds 15 min, cached it is
+    # minutes.  (CPU runs skip this: XLA-CPU compiles are fast and the
+    # cache's disk churn isn't worth it across 4 xdist workers.)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 import pytest  # noqa: E402
 
