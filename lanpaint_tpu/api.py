@@ -109,6 +109,19 @@ class LanPaintSampler:
 
     # -- compiled bodies ---------------------------------------------------
 
+    def _precompute_cond(self, params, cond, uncond):
+        """Apply the model's run-constant conditioning precompute (e.g. the
+        UNet cross-attention k/v hoist, zoo.unet_precompute_kv) at trace top
+        level — inside jit, OUTSIDE the solver scan and think while_loop —
+        so it executes once per launch instead of once per model forward."""
+        if self.model.precompute is None:
+            return cond, uncond
+        p = params if params is not None else self.model.params
+        cond = self.model.precompute(p, cond)
+        if uncond is not None:
+            uncond = self.model.precompute(p, uncond)
+        return cond, uncond
+
     def _denoise_pair(self, params, cond, uncond):
         # params flow through jit as an argument (model.bind) so weights are
         # never baked into the HLO as constants.
@@ -127,6 +140,7 @@ class LanPaintSampler:
         # and callback step numbers stay those of the single-launch
         # program.  Terminal inverse noise scaling happens in __call__
         # (host side) so intermediate segments compose by identity.
+        cond, uncond = self._precompute_cond(params, cond, uncond)
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
         cfg_ = self.config
@@ -163,6 +177,7 @@ class LanPaintSampler:
 
     def _run_plain(self, params, x_init, sigmas, cond, uncond, key, tables,
                    step_offset, carry_in, dpm_fast_range=None):
+        cond, uncond = self._precompute_cond(params, cond, uncond)
         denoise = self._denoise_pair(params, cond, uncond)
         kind = self.model.kind
 

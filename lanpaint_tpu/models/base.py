@@ -76,6 +76,14 @@ class Denoiser:
     # stalls the remote TPU compiler for many minutes on SDXL.
     raw_apply: Optional[Callable] = None
     params: Any = None
+    # Optional run-constant conditioning precompute: (params, cond) -> cond.
+    # The sampler applies it ONCE per launch, inside jit but outside the
+    # solver/think loops, so per-run-constant projections of the text
+    # context (e.g. every cross-attention k/v in the UNet — see
+    # zoo.unet_precompute_kv) are computed once instead of once per model
+    # forward.  Must be identity-safe: the enriched cond must also produce
+    # correct results if a caller passes it straight to apply().
+    precompute: Optional[Callable[[Any, Any], Any]] = None
 
     def bind(self, params=None):
         """Return an apply(x, t, cond) bound to `params` (or self.params)."""

@@ -452,7 +452,7 @@ class SpatialTransformer(nn.Module):
     fused: bool = False
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv_pre=None):
         b, h, w, c = x.shape
         residual = x
         x = GroupNorm32(name="norm")(x)
@@ -470,11 +470,25 @@ class SpatialTransformer(nn.Module):
         blocks = scan(c, self.context_dim, self.num_heads, head_dim,
                       self.dtype, self.fused, name="blocks")
         if self.fused:
+            # The kv_cross param must exist whether or not the caller hands
+            # in a precomputed projection (checkpoint keys are layout, not
+            # control flow).
             kv_kernel = self.param(
                 "kv_cross", nn.initializers.lecun_normal(),
                 (self.depth, self.context_dim, 2 * c), jnp.float32)
-            kv_all = jnp.einsum("btc,dcf->dbtf", context.astype(self.dtype),
-                                kv_kernel.astype(self.dtype))
+            if kv_pre is not None:
+                # Run-constant hoist (zoo.unet_precompute_kv): the text
+                # context never changes within a sampling run, so the
+                # sampler computes this einsum ONCE per launch instead of
+                # once per forward (230x on the 20x5think headline).
+                # kv_pre arrives batch-major (B, depth, T, 2c) — the layout
+                # guidance.py's cond-tree concat needs — and is transposed
+                # to the scan's depth-major layout here (a few MB).
+                kv_all = jnp.moveaxis(kv_pre, 0, 1).astype(self.dtype)
+            else:
+                kv_all = jnp.einsum("btc,dcf->dbtf",
+                                    context.astype(self.dtype),
+                                    kv_kernel.astype(self.dtype))
             x, _ = blocks(x, context, kv_all)
         else:
             x, _ = blocks(x, context)

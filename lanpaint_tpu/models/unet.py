@@ -83,7 +83,8 @@ class UNetModel(nn.Module):
         return self.cfg.num_heads
 
     @nn.compact
-    def __call__(self, x, timesteps, context, y=None, control=None):
+    def __call__(self, x, timesteps, context, y=None, control=None,
+                 kv_cache=None):
         """`control` (ControlNet residual injection, the reference's
         "works with ControlNet" feature via the host's apply_control):
         optional dict with "input" (list added to each skip activation as
@@ -92,8 +93,15 @@ class UNetModel(nn.Module):
         path).  Both lists are indexed by the skip's production (append)
         order — a ControlNet's encoder-order residuals plug into "output"
         directly.  Entries may be None; lists may be shorter than the
-        skip count (missing entries are no-ops)."""
+        skip count (missing entries are no-ops).
+
+        `kv_cache` (fused_qkv only): dict mapping SpatialTransformer module
+        name -> precomputed cross-attention k/v projection of shape
+        (B, depth, T, 2*ch) — see zoo.unet_precompute_kv.  The text context
+        is constant within a sampling run, so the sampler hoists these
+        einsums out of the solver/think loops entirely."""
         cfg = self.cfg
+        kv_cache = kv_cache or {}
         ctl_in = list((control or {}).get("input") or [])
         ctl_out = list((control or {}).get("output") or [])
         ctl_mid = (control or {}).get("middle")
@@ -124,11 +132,12 @@ class UNetModel(nn.Module):
             for i in range(cfg.num_res_blocks):
                 h = ResBlock(ch, dtype=cfg.dtype, name=f"down_{level}_{i}_res")(h, emb)
                 if cfg.transformer_depth[level] > 0:
+                    name = f"down_{level}_{i}_attn"
                     h = SpatialTransformer(
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
                         fused=cfg.fused_qkv,
-                        name=f"down_{level}_{i}_attn")(h, context)
+                        name=name)(h, context, kv_pre=kv_cache.get(name))
                 h = add_ctl(h, ctl_in, len(skips))
                 skips.append(h)
             if level != len(cfg.channel_mult) - 1:
@@ -143,7 +152,8 @@ class UNetModel(nn.Module):
             h = SpatialTransformer(ch, cfg.context_dim, self._heads(ch),
                                    depth=cfg.transformer_depth_middle,
                                    dtype=cfg.dtype, fused=cfg.fused_qkv,
-                                   name="mid_attn")(h, context)
+                                   name="mid_attn")(
+                h, context, kv_pre=kv_cache.get("mid_attn"))
         h = ResBlock(ch, dtype=cfg.dtype, name="mid_res2")(h, emb)
         if ctl_mid is not None:
             h = h + ctl_mid.astype(h.dtype)
@@ -157,11 +167,12 @@ class UNetModel(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResBlock(ch, dtype=cfg.dtype, name=f"up_{level}_{i}_res")(h, emb)
                 if cfg.transformer_depth[level] > 0:
+                    name = f"up_{level}_{i}_attn"
                     h = SpatialTransformer(
                         ch, cfg.context_dim, self._heads(ch),
                         depth=cfg.transformer_depth[level], dtype=cfg.dtype,
                         fused=cfg.fused_qkv,
-                        name=f"up_{level}_{i}_attn")(h, context)
+                        name=name)(h, context, kv_pre=kv_cache.get(name))
             if level != 0:
                 h = Upsample(ch, dtype=cfg.dtype, name=f"up_{level}_us")(h)
 

@@ -9,6 +9,7 @@ shape-correct testing/benching on TPU without checkpoint access); pass
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -121,16 +122,46 @@ def build_unet(
         t_disc = sigma_to_timestep(sigma)
         y = cond.get("y") if isinstance(cond, dict) else None
         ctx = cond["context"] if isinstance(cond, dict) else cond
-        eps = module.apply(p, x_in, t_disc, ctx, y)
+        kvc = cond.get("kv_cache") if isinstance(cond, dict) else None
+        eps = module.apply(p, x_in, t_disc, ctx, y, kv_cache=kvc)
         if v_prediction:
             return x / (1.0 + s**2) - s / jnp.sqrt(1.0 + s**2) * eps
         return x - s * eps
 
+    precompute = (
+        functools.partial(unet_precompute_kv, dtype=config.dtype)
+        if config.fused_qkv else None)
     den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
                    raw_apply=raw_apply, params=params,
                    kind=ModelKind.EPS, sigma_table=table,
-                   name=name, latent_channels=config.in_channels)
+                   name=name, latent_channels=config.in_channels,
+                   precompute=precompute)
     return den, params
+
+
+def unet_precompute_kv(params, cond, dtype=jnp.bfloat16):
+    """Hoist every cross-attention k/v projection of the fused-QKV UNet out
+    of the sampling loops: the text context is constant within a run, so
+    `context @ kv_cross` per SpatialTransformer is computed ONCE per launch
+    (the sampler calls this at trace top level via Denoiser.precompute)
+    instead of once per model forward — on the 20x5think SDXL headline that
+    is 230 forwards x ~2% of model FLOPs at M=77 GEMM efficiency.
+
+    Returns cond with a "kv_cache" dict {stack_name: (B, depth, T, 2*ch)}
+    (batch-major so guidance.py's batched-CFG cond concat composes)."""
+    if not isinstance(cond, dict) or "context" not in cond:
+        return cond
+    ctx = cond["context"].astype(dtype)
+    cache = {}
+    for sname, sub in params["params"].items():
+        if isinstance(sub, dict) and "kv_cross" in sub:
+            cache[sname] = jnp.einsum("btc,dcf->bdtf", ctx,
+                                      sub["kv_cross"].astype(dtype))
+    if not cache:
+        return cond
+    out = dict(cond)
+    out["kv_cache"] = cache
+    return out
 
 
 def build_sd15(params=None, **kw):

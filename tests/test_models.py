@@ -498,3 +498,56 @@ def test_zimage_end_to_end_inpaint(key):
                    mask=jnp.asarray(mask), num_steps=2)
     assert out.shape == latent.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_unet_kv_precompute_matches_per_forward(key):
+    """The run-constant cross-KV hoist (zoo.unet_precompute_kv /
+    Denoiser.precompute) is pure layout: enriching cond with the
+    precomputed "kv_cache" must reproduce the per-forward einsum exactly
+    (fp32 compute so the comparison is rounding-free)."""
+    import dataclasses
+
+    from lanpaint_tpu.models.unet import TINY_UNET_CONFIG
+    from lanpaint_tpu.models.zoo import build_unet
+
+    cfg = dataclasses.replace(TINY_UNET_CONFIG, dtype=jnp.float32)
+    den, params = build_unet(cfg, name="tiny-kv")
+    assert den.precompute is not None  # fused_qkv default
+
+    x = jax.random.normal(key, (2, 4, 16, 16), jnp.float32)
+    t = jnp.full((2,), 5.0)
+    cond = {"context": jax.random.normal(jax.random.PRNGKey(7),
+                                         (2, 8, cfg.context_dim), jnp.float32)}
+    enriched = den.precompute(params, cond)
+    assert "kv_cache" in enriched and enriched["kv_cache"]
+    # every fused SpatialTransformer stack is covered, batch-major layout
+    for name, kv in enriched["kv_cache"].items():
+        assert kv.shape[0] == 2 and kv.shape[2] == 8, (name, kv.shape)
+
+    y_ref = den.apply(x, t, cond)
+    y_pre = den.apply(x, t, enriched)
+    np.testing.assert_allclose(np.asarray(y_pre), np.asarray(y_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unet_kv_precompute_through_sampler(tiny_unet, key):
+    """ksampler/LanPaintSampler apply Denoiser.precompute once per launch;
+    output must match a sampler whose model has the hoist disabled."""
+    import dataclasses
+
+    den, _ = tiny_unet
+    latent = jax.random.normal(key, (1, 4, 16, 16), jnp.float32)
+    mask = np.zeros((16, 16), np.float32)
+    mask[:, 8:] = 1.0
+    cond = {"context": jax.random.normal(jax.random.PRNGKey(3),
+                                         (1, 8, 32), jnp.float32)}
+    uncond = {"context": jnp.zeros((1, 8, 32), jnp.float32)}
+    kw = dict(seed=0, steps=3, cfg=3.0, sampler_name="euler",
+              scheduler="normal", positive=cond, negative=uncond,
+              latent=latent, mask=jnp.asarray(mask), num_steps=2)
+    out_pre = ksampler(den, **kw)
+    out_ref = ksampler(dataclasses.replace(den, precompute=None), **kw)
+    # bf16 compute: the hoisted einsum's output layout (bdtf vs dbtf) may
+    # round differently; the tiny config keeps the drift well under 1e-2
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref),
+                               rtol=0, atol=1e-2)
