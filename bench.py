@@ -75,7 +75,8 @@ BASELINE_SECONDS = PAIR_CALLS * 0.25   # A100 estimate (see docstring)
 log = lambda m: print(m, file=sys.stderr, flush=True)
 
 
-def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True):
+def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True,
+                   kv_hoist: bool = True):
     from lanpaint_tpu import LanPaintConfig, LanPaintSampler
     from lanpaint_tpu.models.unet import SDXL_CONFIG
     from lanpaint_tpu.models.zoo import build_unet
@@ -95,6 +96,10 @@ def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True):
     )
     den_bf16, _ = build_unet(cfg_model, params, name="sdxl")
     del params
+    if not kv_hoist:
+        # A/B lever: disable the run-constant cross-KV hoist
+        # (zoo.unet_precompute_kv) so the einsum runs per forward again
+        den_bf16 = dataclasses.replace(den_bf16, precompute=None)
 
     b = batch
     latent = jnp.zeros((b, 4, 128, 128), jnp.float32)
@@ -131,8 +136,9 @@ def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True):
 
 
 def _time_path(fused: bool, batch: int = 1, fused_qkv: bool = True,
-               repeats: int = 3) -> float:
-    run = _build_sampler(fused, batch=batch, fused_qkv=fused_qkv)
+               kv_hoist: bool = True, repeats: int = 3) -> float:
+    run = _build_sampler(fused, batch=batch, fused_qkv=fused_qkv,
+                         kv_hoist=kv_hoist)
     log(f"bench: compile + warmup run (fused={fused}, b={batch})")
     t0 = time.perf_counter()
     run(0)
@@ -266,6 +272,13 @@ def main():
             "not measured this run; LANPAINT_BENCH_FUSED=1 measures both "
             "paths live (2026-08-17 measurement was +0.88 s — the reason "
             "use_fused_kernels defaults off)")
+    if os.environ.get("LANPAINT_BENCH_KVHOIST") == "1":
+        # lever measurement: the same program WITHOUT the run-constant
+        # cross-KV hoist (Denoiser.precompute=None) — negative delta means
+        # the hoist is faster
+        secs_nohoist = _time_path(fused=False, kv_hoist=False)
+        result["kvhoist_off_seconds"] = round(secs_nohoist, 3)
+        result["kvhoist_delta_s"] = round(secs - secs_nohoist, 3)
     if os.environ.get("LANPAINT_BENCH_QKV") == "1":
         # lever measurement: unfused-QKV layout of the same program
         secs_unfused = _time_path(fused=False, fused_qkv=False)

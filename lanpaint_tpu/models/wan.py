@@ -158,29 +158,60 @@ class WanCrossAttention(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, context):
+    def __call__(self, x, context, kv_pre=None):
+        """`kv_pre`: optional (k, v) pair, each (B, T_text, inner) — the
+        run-constant hoist (WanModel.precompute_kv): the text context never
+        changes within a sampling run, so k/v projection + norm_k run once
+        per launch instead of once per block per forward.  Values are
+        computed by the SAME submodules, so they are bit-identical."""
         cfg = self.cfg
         h, d = cfg.num_heads // cfg.tp_size, cfg.head_dim
         inner = cfg.hidden // cfg.tp_size
         b, s, _ = x.shape
-        sk = context.shape[1]
         qk_norm = lambda name: _WanQKNorm(cfg.hidden, cfg.tp_axis, cfg.tp_size,
                                           cfg.eps, name=name)
         q = nn.Dense(inner, dtype=cfg.dtype, name="q")(x)
-        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context)
-        v = nn.Dense(inner, dtype=cfg.dtype, name="v")(context).reshape(b, sk, h, d)
         q = qk_norm("norm_q")(q).reshape(b, s, h, d)
-        k = qk_norm("norm_k")(k).reshape(b, sk, h, d)
+        if kv_pre is not None:
+            k_flat, v_flat = kv_pre
+            sk = k_flat.shape[1]
+            k = k_flat.astype(cfg.dtype).reshape(b, sk, h, d)
+            v = v_flat.astype(cfg.dtype).reshape(b, sk, h, d)
+        else:
+            sk = context.shape[1]
+            k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context)
+            v = nn.Dense(inner, dtype=cfg.dtype,
+                         name="v")(context).reshape(b, sk, h, d)
+            k = qk_norm("norm_k")(k).reshape(b, sk, h, d)
         out = attention_bshd(q, k, v, impl=cfg.attention_impl)
         out = out.reshape(b, s, inner)
         return _RowDense(cfg.hidden, cfg.tp_axis, cfg.dtype, name="o")(out)
+
+
+class _WanCrossKVOnly(nn.Module):
+    """The context-only slice of WanCrossAttention (k/v projection +
+    norm_k), used by WanModel.precompute_kv.  Submodule names match
+    WanCrossAttention exactly so the SAME stacked checkpoint params are
+    read — extra (unused) params like q/o are simply not looked up."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, context):
+        cfg = self.cfg
+        inner = cfg.hidden // cfg.tp_size
+        k = nn.Dense(inner, dtype=cfg.dtype, name="k")(context)
+        v = nn.Dense(inner, dtype=cfg.dtype, name="v")(context)
+        k = _WanQKNorm(cfg.hidden, cfg.tp_axis, cfg.tp_size, cfg.eps,
+                       name="norm_k")(k)
+        return k, v
 
 
 class WanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, e, context, pe):
+    def __call__(self, x, e, context, pe, kv_pre=None):
         """e: (B, 6, hidden) time modulation; per-block learned offset added."""
         cfg = self.cfg
         mod_table = self.param("modulation", nn.initializers.normal(0.02),
@@ -194,7 +225,8 @@ class WanBlock(nn.Module):
         x = x + g1 * WanSelfAttention(cfg, name="self_attn")(xn.astype(cfg.dtype), pe)
         # cross-attn has its own (affine) norm, no modulation
         xn = LayerNormF32(eps=cfg.eps, name="norm3")(x)
-        x = x + WanCrossAttention(cfg, name="cross_attn")(xn.astype(cfg.dtype), context)
+        x = x + WanCrossAttention(cfg, name="cross_attn")(
+            xn.astype(cfg.dtype), context, kv_pre=kv_pre)
         xn = ln("norm2")(x) * (1 + sc2) + sh2
         ff = nn.gelu(nn.Dense(cfg.ffn_dim // cfg.tp_size, dtype=cfg.dtype,
                               name="ffn_0")(xn.astype(cfg.dtype)), approximate=True)
@@ -206,11 +238,31 @@ class _ScanWanBlock(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, tokens, cond):
+    def __call__(self, tokens, cond, kv_pre=None):
         e6, context, pe = cond
-        out = WanBlock(self.cfg, name="block")(tokens, e6, context, pe)
+        out = WanBlock(self.cfg, name="block")(tokens, e6, context, pe,
+                                               kv_pre=kv_pre)
         # keep the scan carry dtype stable (modulation math runs fp32)
         return out.astype(tokens.dtype), None
+
+
+class _ScanWanKV(nn.Module):
+    """Depth scan collecting every block's cross-attention (k, v) from the
+    run-constant text context (WanModel.precompute_kv)."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, carry, context):
+        class _Block(nn.Module):
+            cfg: WanConfig
+
+            @nn.compact
+            def __call__(self, context):
+                return _WanCrossKVOnly(self.cfg, name="cross_attn")(context)
+
+        k, v = _Block(self.cfg, name="block")(context)
+        return carry, (k, v)
 
 
 def video_ids(b, f, h, w, frame_offset=0) -> jnp.ndarray:
@@ -232,7 +284,12 @@ class WanModel(nn.Module):
     cfg: WanConfig
 
     @nn.compact
-    def __call__(self, x, t, context):
+    def __call__(self, x, t, context, kv_cache=None):
+        """`kv_cache`: optional {"k", "v"} of shape (B, depth, T_text, inner)
+        from precompute_kv — the per-block cross-attention projections of the
+        run-constant text context, hoisted out of the sampling loops by the
+        sampler (Denoiser.precompute).  Bit-identical to the in-forward
+        path."""
         cfg = self.cfg
         b, c, f, hh, ww = x.shape
         pf, ph, pw = cfg.patch
@@ -264,12 +321,23 @@ class WanModel(nn.Module):
                         cfg.axes_dim)
 
         # scan over depth: 40 identical blocks -> one XLA while-body.
-        scan = nn.scan(
-            _ScanWanBlock, variable_axes={"params": 0},
-            split_rngs={"params": True}, length=cfg.depth,
-            in_axes=nn.broadcast,
-        )
-        tokens, _ = scan(cfg, name="blocks")(tokens, (e6, context, pe))
+        if kv_cache is not None:
+            kv_scan = jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1),
+                                   (kv_cache["k"], kv_cache["v"]))
+            scan = nn.scan(
+                _ScanWanBlock, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=cfg.depth,
+                in_axes=(nn.broadcast, 0),
+            )
+            tokens, _ = scan(cfg, name="blocks")(tokens, (e6, context, pe),
+                                                 kv_scan)
+        else:
+            scan = nn.scan(
+                _ScanWanBlock, variable_axes={"params": 0},
+                split_rngs={"params": True}, length=cfg.depth,
+                in_axes=nn.broadcast,
+            )
+            tokens, _ = scan(cfg, name="blocks")(tokens, (e6, context, pe))
 
         # head: modulated norm + linear to patch voxels
         head_mod = self.param("head_modulation", nn.initializers.normal(0.02),
@@ -284,3 +352,37 @@ class WanModel(nn.Module):
         out = out.reshape(b, gf, gh, gw, cfg.out_channels, pf, ph, pw)
         out = jnp.transpose(out, (0, 4, 1, 5, 2, 6, 3, 7))
         return out.reshape(b, cfg.out_channels, f, hh, ww)
+
+
+class WanKVPrecompute(nn.Module):
+    """Run-constant cross-attention hoist: text embedding + every block's
+    cross-attn k/v projection (+ norm_k), computed ONCE per sampling launch
+    (zoo.wan_precompute_kv -> Denoiser.precompute) instead of once per block
+    per forward.
+
+    A sibling module of WanModel (flax allows one @nn.compact method per
+    class) whose param paths match WanModel's root exactly
+    (text_embedding_0/2, blocks/block/cross_attn/{k,v,norm_k}) — apply it
+    with WanModel's params and the SAME weights are read, so values are
+    bit-identical to the in-forward path.
+
+    Returns {"k", "v"}: (B, depth, T_text, inner), batch-major so
+    guidance.py's batched-CFG cond concat composes."""
+
+    cfg: WanConfig
+
+    @nn.compact
+    def __call__(self, context):
+        cfg = self.cfg
+        context = nn.gelu(nn.Dense(cfg.hidden, dtype=cfg.dtype,
+                                   name="text_embedding_0")(
+            context.astype(cfg.dtype)), approximate=True)
+        context = nn.Dense(cfg.hidden, dtype=cfg.dtype,
+                           name="text_embedding_2")(context)
+        scan = nn.scan(
+            _ScanWanKV, variable_axes={"params": 0},
+            split_rngs={"params": True}, length=cfg.depth,
+            in_axes=nn.broadcast,
+        )
+        _, (k, v) = scan(cfg, name="blocks")(0, context)
+        return {"k": jnp.moveaxis(k, 0, 1), "v": jnp.moveaxis(v, 0, 1)}

@@ -570,13 +570,32 @@ def build_wan(
     def raw_apply(p, x, t, cond):
         tb = _bc(t, x.ndim)
         ctx = cond["context"] if isinstance(cond, dict) else cond
-        vel = module.apply(p, x, t, ctx)
+        kvc = cond.get("kv_cache") if isinstance(cond, dict) else None
+        vel = module.apply(p, x, t, ctx, kv_cache=kvc)
         return x - tb * vel
+
+    # Run-constant cross-KV hoist (WanKVPrecompute): single-device programs
+    # only — the manual shard_map TP/SP paths compute k/v inside their own
+    # program and are excluded (build_wan_seq_parallel / tp wrappers pass
+    # raw context).
+    precompute = None
+    if config.tp_axis is None and config.seq_axis is None:
+        from .wan import WanKVPrecompute
+
+        kv_module = WanKVPrecompute(config)
+
+        def precompute(p, cond):
+            if not isinstance(cond, dict) or "context" not in cond:
+                return cond
+            out = dict(cond)
+            out["kv_cache"] = kv_module.apply(p, cond["context"])
+            return out
 
     den = Denoiser(apply=lambda x, t, c: raw_apply(params, x, t, c),
                    raw_apply=raw_apply, params=params, kind=ModelKind.FLOW,
                    sigma_table=FlowSigmaTable(shift=shift), name=name,
-                   latent_channels=config.in_channels)
+                   latent_channels=config.in_channels,
+                   precompute=precompute)
     return den, params
 
 

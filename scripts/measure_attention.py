@@ -24,11 +24,15 @@ import jax.numpy as jnp
 
 
 def time_impl(b: int, s: int, h: int, d: int, use_splash: bool,
-              n_calls: int = 50, repeats: int = 3) -> float:
+              n_calls: int = 50, repeats: int = 3,
+              min_s: int | None = None) -> float:
     from lanpaint_tpu.models import layers
 
     prev = layers.USE_SPLASH
+    prev_min = layers.SPLASH_MIN_S
     layers.USE_SPLASH = use_splash
+    if min_s is not None:
+        layers.SPLASH_MIN_S = min_s
     try:
         k = jax.random.normal(jax.random.key(1), (b, s, h, d), jnp.bfloat16)
         v = jax.random.normal(jax.random.key(2), (b, s, h, d), jnp.bfloat16)
@@ -53,6 +57,7 @@ def time_impl(b: int, s: int, h: int, d: int, use_splash: bool,
         return best / n_calls
     finally:
         layers.USE_SPLASH = prev
+        layers.SPLASH_MIN_S = prev_min
 
 
 def main():
@@ -62,6 +67,9 @@ def main():
     ap.add_argument("--h", type=int, default=None)
     ap.add_argument("--d", type=int, default=None)
     ap.add_argument("--calls", type=int, default=50)
+    ap.add_argument("--min-s", type=int, default=None,
+                    help="override layers.SPLASH_MIN_S (e.g. 1024 to force "
+                         "the splash kernel onto the short SDXL shape)")
     args = ap.parse_args()
 
     if args.s is not None:
@@ -73,8 +81,10 @@ def main():
         ]
     assert jax.default_backend() == "tpu", "run on the real chip"
     for b, s, h, d in shapes:
-        flash = time_impl(b, s, h, d, use_splash=False, n_calls=args.calls)
-        splash = time_impl(b, s, h, d, use_splash=True, n_calls=args.calls)
+        flash = time_impl(b, s, h, d, use_splash=False, n_calls=args.calls,
+                          min_s=args.min_s)
+        splash = time_impl(b, s, h, d, use_splash=True, n_calls=args.calls,
+                           min_s=args.min_s)
         # 4*S^2*H*D fwd flops (2 matmuls), bf16
         fl = 4.0 * s * s * h * d * b
         print(f"B{b} S{s} H{h} D{d}: flash {flash*1e6:.0f} us "

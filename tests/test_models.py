@@ -551,3 +551,46 @@ def test_unet_kv_precompute_through_sampler(tiny_unet, key):
     # round differently; the tiny config keeps the drift well under 1e-2
     np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref),
                                rtol=0, atol=1e-2)
+
+
+def test_wan_kv_precompute_matches_per_forward(key):
+    """WanKVPrecompute reads the SAME stacked params as the in-forward
+    cross-attention k/v path, so the hoisted forward is bit-identical."""
+    import dataclasses
+
+    from lanpaint_tpu.models.wan import TINY_WAN_CONFIG
+    from lanpaint_tpu.models.zoo import build_wan
+
+    cfg = dataclasses.replace(TINY_WAN_CONFIG, dtype=jnp.float32)
+    den, params = build_wan(cfg, init_shape=(1, 4, 8, 8), name="tiny-wan-kv")
+    assert den.precompute is not None
+
+    x = jax.random.normal(key, (1, 4, 4, 8, 8), jnp.float32)
+    t = jnp.full((1,), 0.6)
+    cond = {"context": jax.random.normal(jax.random.PRNGKey(5),
+                                         (1, 8, cfg.context_dim), jnp.float32)}
+    enriched = den.precompute(params, cond)
+    kv = enriched["kv_cache"]
+    assert kv["k"].shape == (1, cfg.depth, 8, cfg.hidden)
+    y_ref = den.apply(x, t, cond)
+    y_pre = den.apply(x, t, enriched)
+    np.testing.assert_array_equal(np.asarray(y_pre), np.asarray(y_ref))
+
+
+def test_wan_kv_precompute_through_sampler(tiny_wan, key):
+    import dataclasses
+
+    den, _ = tiny_wan
+    assert den.precompute is not None
+    latent = jax.random.normal(key, (1, 4, 4, 8, 8), jnp.float32)
+    mask = np.zeros((4, 64, 64), np.float32)
+    mask[:, :, 32:] = 1.0
+    cond = {"context": jax.random.normal(jax.random.PRNGKey(2),
+                                         (1, 8, 32), jnp.float32)}
+    kw = dict(seed=0, steps=3, cfg=1.0, sampler_name="euler",
+              scheduler="simple", positive=cond, latent=latent,
+              mask=jnp.asarray(mask), num_steps=2, video=True)
+    out_pre = ksampler(den, **kw)
+    out_ref = ksampler(dataclasses.replace(den, precompute=None), **kw)
+    np.testing.assert_allclose(np.asarray(out_pre), np.asarray(out_ref),
+                               rtol=0, atol=1e-2)
