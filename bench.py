@@ -25,6 +25,9 @@ Optional same-run measurement blocks (each adds a full compile+timing):
   emitted ONLY when measured in the same run — never a replayed constant.
 * LANPAINT_BENCH_QKV=1    — the UNFUSED-QKV layout A/B (r3 measured the
   shipped fusion at -1.058 s / MFU 0.227 -> 0.249).
+* LANPAINT_BENCH_KVHOIST=1 — the run-constant cross-KV hoist A/B
+  (r4 measured -0.012 s: XLA LICM already hoists the SDXL einsum; the
+  hoist stays for programs where LICM declines — docs/architecture.md).
 * LANPAINT_BENCH_SPLASH (default ON; 0 disables) — legacy-flash A/B of the
   same program (module-level USE_SPLASH flip): splash_delta_s < 0 means the
   splash kernel is faster end-to-end.

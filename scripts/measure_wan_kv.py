@@ -60,8 +60,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=10,
                     help="latent frames (10 latent = 40 video frames)")
-    ap.add_argument("--hw", type=int, nargs=2, default=(60, 104),
-                    help="latent H W (880x480 pixels -> 60x104 at vae 8x)")
+    ap.add_argument("--hw", type=int, nargs=2, default=(40, 54),
+                    help="latent H W; (40, 54) with 10 frames = 5400 tokens "
+                         "(the r3 Wan-5B kernel-measurement shape).  The "
+                         "14B-geometry (60, 104) = 15600 tokens compiles "
+                         ">40 min through the relay — avoid")
     ap.add_argument("--calls", type=int, default=8)
     ap.add_argument("--text-tokens", type=int, default=512)
     ap.add_argument("--tiny", action="store_true",
