@@ -22,6 +22,6 @@ check-cpu:
 	$(PY) -m pytest tests/ -q
 
 check-chip:
-	LANPAINT_TEST_TPU=1 $(PY) -m pytest tests/test_fused.py \
-	    tests/test_attention.py tests/test_norms.py tests/test_onchip.py \
+	LANPAINT_TEST_TPU=1 $(PY) -m pytest tests/test_onchip.py \
+	    tests/test_attention.py tests/test_norms.py tests/test_fused.py \
 	    -q -n 0 -p no:cacheprovider

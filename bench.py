@@ -130,7 +130,7 @@ def _build_sampler(fused: bool, batch: int = 1, fused_qkv: bool = True,
 
     def run(seed):
         out, _ = sam(latent=latent, sigmas=sigmas, cond=cond, uncond=uncond,
-                     mask=jnp.asarray(mask), seed=seed)
+                     mask=mask, seed=seed)
         # force full synchronization incl. device->host readback (the
         # tunneled backend's block_until_ready can return early)
         return float(jnp.sum(out.astype(jnp.float32)))
@@ -161,9 +161,11 @@ def _tpu_selftest() -> str:
             # -n 0 overrides pytest.ini's xdist sharding: four workers
             # contending for the ONE real chip through the tunnel serialize
             # terribly (observed >15 min vs ~2 min single-process)
-            [sys.executable, "-m", "pytest", "tests/test_fused.py",
+            # test_onchip FIRST: if the tunnel drops mid-run (observed r4), the
+            # end-to-end cases have already produced their verdict
+            [sys.executable, "-m", "pytest", "tests/test_onchip.py",
              "tests/test_attention.py", "tests/test_norms.py",
-             "tests/test_onchip.py",
+             "tests/test_fused.py",
              "-q", "-n", "0", "-p", "no:cacheprovider"],
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True, text=True, timeout=2400,

@@ -41,6 +41,18 @@ def _max_denoise(sigmas, sigma_table) -> bool:
     return math.isclose(s0, mx, rel_tol=1e-5) or s0 > mx
 
 
+def _seed_arg(seed):
+    """Seed as a host uint32 scalar so it rides the prep launch as a traced
+    argument (a new seed must NOT retrace, and an eager PRNGKey costs a
+    tunnel round trip).  Bit-identical to eager PRNGKey(seed) for every int:
+    with x64 disabled JAX folds the seed to its low 32 bits (verified:
+    PRNGKey(2**33+5) == PRNGKey(5), PRNGKey(-1) == PRNGKey(0xFFFFFFFF)),
+    which is exactly this mask."""
+    if isinstance(seed, (int, np.integer)):
+        return np.uint32(int(seed) & 0xFFFFFFFF)
+    return seed  # already an array (e.g. traced); PRNGKey handles it
+
+
 class LanPaintSampler:
     """A compiled LanPaint sampling program for one (model, config, solver).
 
@@ -106,6 +118,17 @@ class LanPaintSampler:
                                     static_argnames=("dpm_fast_range",))
         self._jit_plain = jax.jit(self._run_plain,
                                   static_argnames=("dpm_fast_range",))
+        # Per-call prep (PRNG draws, noise scaling, mask resize, solver
+        # carry init) as ONE jitted launch.  Eagerly these are ~15 separate
+        # device ops, and on the tunneled TPU backend every eager op is a
+        # host<->device round trip — measured 95-121 ms per __call__ at the
+        # SDXL-1024 headline shapes (scripts/measure_prep.py, 2026-08-20),
+        # a fixed cost the single-launch sampler cannot amortize and that
+        # repeats per segment under chunked launches.
+        self._jit_prep = jax.jit(
+            self._run_prep,
+            static_argnames=("add_noise", "decoupled", "max_denoise",
+                             "video"))
 
     # -- compiled bodies ---------------------------------------------------
 
@@ -195,6 +218,43 @@ class LanPaintSampler:
             dpm_fast_range=dpm_fast_range,
         )
 
+    def _run_prep(self, latent, sigmas, seed, noise, mask, *,
+                  add_noise: bool, decoupled: bool, max_denoise: bool,
+                  video: bool):
+        """Everything __call__ needs on device before the solver launch,
+        as one program: RNG key derivation + initial/think noise draws
+        (bit-identical to the former eager path — threefry is
+        deterministic under jit), forward noise scaling, mask -> latent
+        grid, and the solver-carry init.  `noise`/`mask` may be None
+        (static program structure, like the eager code's branches)."""
+        key = jax.random.PRNGKey(seed)
+        k_init, k_think, k_solve = jax.random.split(key, 3)
+        if noise is None:
+            noise = (
+                jax.random.normal(k_init, latent.shape, jnp.float32)
+                if add_noise
+                else jnp.zeros_like(latent, dtype=jnp.float32)
+            )
+        else:
+            noise = jnp.asarray(noise)
+        # Optional decoupled think-loop noise from seed+1
+        # (reference nodes.py:208-212).
+        think_noise = (
+            jax.random.normal(jax.random.PRNGKey(seed + 1), latent.shape,
+                              jnp.float32)
+            if decoupled
+            else noise
+        )
+        x_init = noise_scaling(
+            self.model.kind,
+            jnp.broadcast_to(sigmas[0], (latent.shape[0],)),
+            noise, latent, max_denoise=max_denoise,
+        )
+        denoise_mask = (None if mask is None
+                        else prepare_mask(mask, latent.shape, video))
+        return x_init, think_noise, k_solve, denoise_mask, \
+            samplers.init_carry(x_init)
+
     # -- runtime entry -----------------------------------------------------
 
     def __call__(
@@ -232,40 +292,33 @@ class LanPaintSampler:
         progress/cancellation points.
         """
         latent = jnp.asarray(latent)
-        sigmas = jnp.asarray(sigmas, jnp.float32)
-        key = jax.random.PRNGKey(seed)
-        k_init, k_think, k_solve = jax.random.split(key, 3)
+        # Keep the ladder HOST-side for the whole entry: tables, chunk
+        # planning and max_denoise need host values anyway, and the jitted
+        # launches upload it as an ordinary argument.  Device-resident
+        # callers pay ONE readback here; host callers pay zero round trips
+        # (the old code did an eager device cast plus two readbacks).
+        sig_host = np.asarray(sigmas, dtype=np.float32)
+        sigmas = sig_host
 
-        if noise is None:
-            noise = (
-                jax.random.normal(k_init, latent.shape, jnp.float32)
-                if add_noise
-                else jnp.zeros_like(latent, dtype=jnp.float32)
-            )
-        # Optional decoupled think-loop noise from seed+1
-        # (reference nodes.py:208-212).
-        think_noise = (
-            jax.random.normal(jax.random.PRNGKey(seed + 1), latent.shape, jnp.float32)
-            if decoupled_noise
-            else noise
-        )
-
-        x_init = noise_scaling(
-            self.model.kind, jnp.broadcast_to(sigmas[0], (latent.shape[0],)),
-            noise, latent, max_denoise=_max_denoise(sigmas, self.model.sigma_table),
+        # All per-call device prep in one jitted launch (see _run_prep).
+        x_init, think_noise, k_solve, denoise_mask, carry0 = self._jit_prep(
+            latent, sigmas, _seed_arg(seed), noise,
+            # host masks ride the prep launch as an argument (np.asarray is
+            # host-side) instead of paying a separate eager transfer
+            None if mask is None
+            else mask if isinstance(mask, jax.Array) else np.asarray(mask),
+            add_noise=add_noise, decoupled=decoupled_noise,
+            max_denoise=_max_denoise(sig_host, self.model.sigma_table),
+            video=video,
         )
 
         params = self._params  # device-resident; traced through jit
         kind = self.model.kind
         total = int(sigmas.shape[0]) - 1
-        denoise_mask = (None if mask is None
-                        else prepare_mask(mask, latent.shape, video))
         chunk = total if not chunk_steps else max(1, int(chunk_steps))
         if total <= 0:
             return (inverse_noise_scaling(kind, sigmas[-1:], x_init),
                     jnp.zeros((0,) + x_init.shape, x_init.dtype))
-
-        sig_host = np.asarray(sigmas)
         # dpm_fast chunking works on GROUPS (its order-3/2/1 multi-call
         # updates are atomic): each launch executes a contiguous group range
         # against the FULL ladder, so the t grid, the fold_in(key, g) stream
@@ -301,7 +354,7 @@ class LanPaintSampler:
             if denoise_mask is not None:
                 denoise_mask = _pin(denoise_mask)
         x = x_init
-        carry = samplers.init_carry(x_init)
+        carry = carry0  # built on device by the prep launch
         den_parts = []
         aux_parts = []
         # deis coefficients come from the FULL ladder (then sliced per
@@ -323,12 +376,12 @@ class LanPaintSampler:
             if denoise_mask is None:
                 x, den, carry = self._jit_plain(
                     params, x, seg, cond, uncond, k_solve, tables,
-                    jnp.int32(start), carry, dpm_fast_range=g_range)
+                    np.int32(start), carry, dpm_fast_range=g_range)
             else:
                 x, den, carry = self._jit_inpaint(
                     params, x, think_noise, seg, latent, denoise_mask, cond,
-                    uncond, k_solve, tables, jnp.int32(start),
-                    jnp.int32(total), carry, dpm_fast_range=g_range)
+                    uncond, k_solve, tables, np.int32(start),
+                    np.int32(total), carry, dpm_fast_range=g_range)
                 if self.return_aux:
                     den, aux = den
                     aux_parts.append(aux)
@@ -530,7 +583,7 @@ def ksampler_advanced(
         sigmas[-1] = 0.0
     sam = _cached_sampler(model, config, sampler_name, cfg, prompt_mode,
                           sequential_cfg, return_aux=trace is not None)
-    out = sam(latent=latent, sigmas=jnp.asarray(sigmas), cond=positive,
+    out = sam(latent=latent, sigmas=sigmas, cond=positive,
               uncond=negative, mask=mask, seed=noise_seed,
               add_noise=add_noise, video=video,
               chunk_steps=chunk_steps)

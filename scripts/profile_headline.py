@@ -59,7 +59,7 @@ def build_run(steps: int, think: int, sequential_cfg: bool = True):
 
     def run(seed):
         out, _ = sam(latent=latent, sigmas=sigmas, cond=cond, uncond=uncond,
-                     mask=jnp.asarray(mask), seed=seed)
+                     mask=mask, seed=seed)
         return float(jnp.sum(out.astype(jnp.float32)))
 
     return run

@@ -34,7 +34,10 @@ else:
         "jax_compilation_cache_dir",
         os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    # 2 s (not the 10 s bench.py uses for its huge programs): the selftest
+    # is DOMINATED by many small 3-10 s compiles that re-pay the tunnel
+    # every round unless cached.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import pytest  # noqa: E402
 
