@@ -47,10 +47,13 @@ def _seed_arg(seed):
     tunnel round trip).  Bit-identical to eager PRNGKey(seed) for every int:
     with x64 disabled JAX folds the seed to its low 32 bits (verified:
     PRNGKey(2**33+5) == PRNGKey(5), PRNGKey(-1) == PRNGKey(0xFFFFFFFF)),
-    which is exactly this mask."""
+    which is exactly this mask.  Array seeds (e.g. a caller-held jnp.int32
+    scalar) are normalized to uint32 too, so the decoupled-noise `seed + 1`
+    in _run_prep uses the documented uint32 wrap on every input type
+    instead of int32 overflow semantics."""
     if isinstance(seed, (int, np.integer)):
         return np.uint32(int(seed) & 0xFFFFFFFF)
-    return seed  # already an array (e.g. traced); PRNGKey handles it
+    return jnp.asarray(seed).astype(jnp.uint32)
 
 
 class LanPaintSampler:
@@ -157,7 +160,7 @@ class LanPaintSampler:
     def _run_inpaint(self, params, x_init, think_noise, sigmas, latent,
                      denoise_mask, cond, uncond, key, tables,
                      step_offset, total_steps, carry_in,
-                     dpm_fast_range=None):
+                     noise_feed=None, dpm_fast_range=None):
         # step_offset/total_steps: global position of this (possibly
         # chunked) ladder segment — the RNG stream, outer-early-stop index
         # and callback step numbers stay those of the single-launch
@@ -181,10 +184,18 @@ class LanPaintSampler:
             step = jnp.argmin(jnp.abs(sigmas - sigma)) + step_offset
             n = jnp.where(total_steps - step <= cfg_.outer_early_stop, 0,
                           cfg_.n_steps)
+            # Parity/replay mode: noise_feed is (total_steps, n_max, 5,
+            # *x.shape) recorded reference draws; each outer step consumes
+            # its own row (engine.lanpaint_update noise_feed contract).
+            feed_step = None
+            if noise_feed is not None:
+                feed_step = jax.lax.dynamic_index_in_dim(
+                    noise_feed, step, keepdims=False)
             out, x_new, aux = lanpaint_update(
                 denoise, x, latent_image=latent, noise=think_noise,
                 latent_mask=latent_mask, sigma=sigma_b, times=times,
                 n_steps=n, config=cfg_, kind=kind, key=k,
+                noise_feed=feed_step,
             )
             if self.return_aux:
                 return out, x_new, aux
@@ -218,7 +229,7 @@ class LanPaintSampler:
             dpm_fast_range=dpm_fast_range,
         )
 
-    def _run_prep(self, latent, sigmas, seed, noise, mask, *,
+    def _run_prep(self, latent, sigma0, seed, noise, mask, *,
                   add_noise: bool, decoupled: bool, max_denoise: bool,
                   video: bool):
         """Everything __call__ needs on device before the solver launch,
@@ -226,7 +237,11 @@ class LanPaintSampler:
         (bit-identical to the former eager path — threefry is
         deterministic under jit), forward noise scaling, mask -> latent
         grid, and the solver-carry init.  `noise`/`mask` may be None
-        (static program structure, like the eager code's branches)."""
+        (static program structure, like the eager code's branches).
+
+        Takes only the SCALAR sigmas[0] (not the ladder): the prep program
+        is then shape-stable across ladder lengths, so varying step counts
+        reuse one compile instead of paying a 20-40 s tunnel compile each."""
         key = jax.random.PRNGKey(seed)
         k_init, k_think, k_solve = jax.random.split(key, 3)
         if noise is None:
@@ -247,7 +262,7 @@ class LanPaintSampler:
         )
         x_init = noise_scaling(
             self.model.kind,
-            jnp.broadcast_to(sigmas[0], (latent.shape[0],)),
+            jnp.broadcast_to(sigma0, (latent.shape[0],)),
             noise, latent, max_denoise=max_denoise,
         )
         denoise_mask = (None if mask is None
@@ -271,8 +286,15 @@ class LanPaintSampler:
         decoupled_noise: bool = False,
         video: bool = False,
         chunk_steps: Optional[int] = None,
+        noise_feed: Optional[jnp.ndarray] = None,
     ):
         """Run sampling.  Returns (samples, denoised_history).
+
+        `noise_feed` (parity/replay mode): (total_steps, n_max, 5, *latent
+        .shape) recorded standard-normal draws consumed by the think loop
+        instead of the PRNG (engine.lanpaint_update contract) — the
+        full-ladder seed-for-seed mechanism used by
+        tests/test_reference_golden.py's ladder cases.
 
         `chunk_steps`: run the sigma ladder as ceil(steps/chunk) jitted
         launches of at most `chunk_steps` outer steps each instead of one.
@@ -302,7 +324,7 @@ class LanPaintSampler:
 
         # All per-call device prep in one jitted launch (see _run_prep).
         x_init, think_noise, k_solve, denoise_mask, carry0 = self._jit_prep(
-            latent, sigmas, _seed_arg(seed), noise,
+            latent, np.float32(sig_host[0]), _seed_arg(seed), noise,
             # host masks ride the prep launch as an argument (np.asarray is
             # host-side) instead of paying a separate eager transfer
             None if mask is None
@@ -381,7 +403,8 @@ class LanPaintSampler:
                 x, den, carry = self._jit_inpaint(
                     params, x, think_noise, seg, latent, denoise_mask, cond,
                     uncond, k_solve, tables, np.int32(start),
-                    np.int32(total), carry, dpm_fast_range=g_range)
+                    np.int32(total), carry, noise_feed=noise_feed,
+                    dpm_fast_range=g_range)
                 if self.return_aux:
                     den, aux = den
                     aux_parts.append(aux)

@@ -12,10 +12,11 @@ Usage:  python scripts/measure_cfg.py [--steps 20] [--think 5]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

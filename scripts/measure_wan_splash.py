@@ -16,10 +16,11 @@ Usage:  python scripts/measure_wan_splash.py [--frames 10] [--hw 40 54]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

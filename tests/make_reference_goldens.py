@@ -226,9 +226,197 @@ def run_case(lanpaint_mod, torch, name, kind, sigma_native, n_steps, shape,
     return {f"{name}/{k}": v for k, v in arrays.items()}
 
 
+def kdiff_sample_euler(torch, model, x, sigmas, extra_args=None,
+                       callback=None, disable=None):
+    """Faithful re-derivation of k-diffusion's sample_euler at its defaults
+    (s_churn=0 so sigma_hat == sigma; Karras et al. 2022 Alg. 2 — the
+    public algorithm ComfyUI's comfy/k_diffusion/sampling.py ships and the
+    reference whitelists, reference nodes.py:292-296)."""
+    extra_args = {} if extra_args is None else extra_args
+    s_in = torch.ones((x.shape[0],), dtype=x.dtype)
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i] * s_in, **extra_args)
+        if callback is not None:
+            callback({"x": x, "i": i, "sigma": sigmas[i], "denoised": denoised})
+        d = (x - denoised) / sigmas[i]
+        x = x + d * (sigmas[i + 1] - sigmas[i])
+    return x
+
+
+def kdiff_sample_dpmpp_2m(torch, model, x, sigmas, extra_args=None,
+                          callback=None, disable=None):
+    """Faithful re-derivation of k-diffusion's sample_dpmpp_2m (DPM-Solver++
+    2M, Lu et al. 2022 — public algorithm, same provenance as above)."""
+    extra_args = {} if extra_args is None else extra_args
+    s_in = torch.ones((x.shape[0],), dtype=x.dtype)
+    sigma_fn = lambda t: t.neg().exp()
+    t_fn = lambda s: s.log().neg()
+    old_denoised = None
+    for i in range(len(sigmas) - 1):
+        denoised = model(x, sigmas[i] * s_in, **extra_args)
+        if callback is not None:
+            callback({"x": x, "i": i, "sigma": sigmas[i], "denoised": denoised})
+        t, t_next = t_fn(sigmas[i]), t_fn(sigmas[i + 1])
+        h = t_next - t
+        if old_denoised is None or sigmas[i + 1] == 0:
+            x = sigma_fn(t_next) / sigma_fn(t) * x - (-h).expm1() * denoised
+        else:
+            h_last = t - t_fn(sigmas[i - 1])
+            r = h_last / h
+            denoised_d = (1 + 1 / (2 * r)) * denoised \
+                - (1 / (2 * r)) * old_denoised
+            x = sigma_fn(t_next) / sigma_fn(t) * x - (-h).expm1() * denoised_d
+        old_denoised = denoised
+    return x
+
+
+def run_ladder_case(torch, ref_nodes, name, kind, sampler_name, sigma_ladder,
+                    n_think, shape, early_stop=1, data_seed=0, lamb=16.0,
+                    step_size=0.2, beta=1.0, friction=15.0):
+    """Drive the reference's FULL outer path for one sigma ladder.
+
+    Uses the reference's own patched `KSAMPLER.sample` and
+    `KSamplerX0Inpaint` (reference nodes.py:137-249) — initial noise
+    scaling (nodes.py:221), per-step think loops with in-place writeback
+    (lanpaint.py:122), the outer-early-stop tail (nodes.py:177-183) and the
+    terminal inverse noise scaling (nodes.py:248) — under recorded RNG, so
+    tests/test_reference_golden.py can replay the identical ladder through
+    `LanPaintSampler(noise_feed=...)` and require step-for-step equality."""
+    rng = np.random.default_rng(data_seed)
+    latent = (0.3 * rng.standard_normal(shape)).astype(np.float32)
+    noise = rng.standard_normal(shape).astype(np.float32)
+    # repaint mask (1 = inpaint), ~40% repaint, broadcast over channels
+    mask2d = (rng.random(shape[2:]) < 0.4).astype(np.float32)
+    mask = np.broadcast_to(mask2d, shape).copy()
+    g = (0.2 * rng.standard_normal(shape)).astype(np.float32)
+    sigmas = np.asarray(sigma_ladder, np.float32)
+    base_model = make_dummy_model(torch, g, kind)
+
+    stub_model_type = ("FLOW" if kind == "flow" else object())
+
+    class _Inner:
+        model_type = stub_model_type
+
+    # comfy EPS.noise_scaling has the max_denoise sqrt(1+sigma^2) branch the
+    # per-step dummy never needed; reproduce comfy's exact semantics here
+    class _MS:
+        @staticmethod
+        def noise_scaling(sigma, noise, latent_image, max_denoise=False):
+            if kind == "flow":
+                return sigma * noise + (1.0 - sigma) * latent_image
+            if max_denoise:
+                noise = noise * torch.sqrt(1.0 + sigma ** 2)
+            else:
+                noise = noise * sigma
+            return noise + latent_image
+
+        @staticmethod
+        def inverse_noise_scaling(sigma, latent):
+            if kind == "flow":
+                return latent / (1.0 - sigma)
+            return latent
+
+    _Inner.model_sampling = _MS()
+
+    import types as _types
+
+    patcher = _types.SimpleNamespace(
+        LanPaint_NumSteps=n_think, LanPaint_Friction=friction,
+        LanPaint_Lambda=lamb, LanPaint_Beta=beta,
+        LanPaint_StepSize=step_size, LanPaint_EarlyStop=early_stop,
+        LanPaint_cfg_BIG=0.5,
+    )
+    calls = {"n": 0}
+
+    class ModelWrap:
+        inner_model = _Inner()
+        model_patcher = patcher
+
+        def __call__(self, x, t, model_options=None, seed=None):
+            calls["n"] += 1
+            return base_model(x, t, model_options=model_options, seed=seed)
+
+    model_wrap = ModelWrap()
+
+    sampler = ref_nodes.KSAMPLER.__new__(ref_nodes.KSAMPLER)
+    sampler.inpaint_options = {}
+    sampler.extra_options = {}
+    sampler.max_denoise = lambda mw, sig: kind != "flow"
+    kdiff = {"euler": kdiff_sample_euler,
+             "dpmpp_2m": kdiff_sample_dpmpp_2m}[sampler_name]
+    sampler.sampler_function = lambda *a, **k: kdiff(torch, *a, **k)
+
+    steps_rec = []  # per outer step: (i, out, x_refined, log_len, calls)
+    rec = DrawRecorder(torch, data_seed + 2000)
+
+    def record_cb(i, denoised, x, total):
+        steps_rec.append((i, denoised.numpy().astype(np.float32).copy(),
+                          x.numpy().astype(np.float32).copy(),
+                          len(rec.log), calls["n"]))
+
+    saved_randn = torch.randn_like
+    saved_mvn = torch.distributions.MultivariateNormal
+    try:
+        torch.randn_like = rec.fake_randn_like
+        torch.distributions.MultivariateNormal = rec.make_fake_mvn()
+        samples = sampler.sample(
+            model_wrap, torch.from_numpy(sigmas.copy()),
+            {"model_options": {}, "seed": 0},
+            record_cb, torch.from_numpy(noise.copy()),
+            latent_image=torch.from_numpy(latent.copy()),
+            denoise_mask=torch.from_numpy(mask.copy()),
+        )
+    finally:
+        torch.randn_like = saved_randn
+        torch.distributions.MultivariateNormal = saved_mvn
+
+    total = len(sigmas) - 1
+    assert len(steps_rec) == total, (name, len(steps_rec), total)
+    # validate the draw sequence and call counts step-for-step: non-tail
+    # steps run exactly n_think langevin iterations (no inner stop here)
+    # + 1 final denoise; tail steps (outer early stop) 1 call, 0 draws
+    tags = [t for t, _ in rec.log]
+    expected, bounds = [], []
+    exec_per_step = []
+    for i in range(total):
+        tail = (total - i) <= early_stop
+        e = 0 if tail else n_think
+        exec_per_step.append(e)
+        expected += [] if e == 0 else (["randn", "mvn"] + ["mvn", "mvn"] * (e - 1))
+        bounds.append(len(expected))
+    if tags != expected:
+        raise RuntimeError(f"{name}: draw sequence {tags} != {expected}")
+    assert calls["n"] == sum(e + 1 for e in exec_per_step), (
+        name, calls["n"], exec_per_step)
+    # the callback fires AFTER step j's model call, so the draw log must
+    # stand exactly at that step's cumulative boundary
+    for j, (i, _, _, log_len, ncalls) in enumerate(steps_rec):
+        assert i == j and log_len == bounds[j], (
+            f"{name}: step {j} draw boundary {log_len} != {bounds[j]}")
+
+    arrays = {
+        "latent": latent, "noise": noise, "mask": mask, "g": g,
+        "sigmas": sigmas,
+        "samples": samples.numpy().astype(np.float32),
+        "outs": np.stack([s[1] for s in steps_rec]),
+        "xs": np.stack([s[2] for s in steps_rec]),
+        "executed": np.asarray(exec_per_step, np.int32),
+        "meta": np.array([n_think, lamb, step_size, beta, friction,
+                          early_stop], np.float32),
+        "kind": np.array(1 if kind == "flow" else 0, np.int32),
+        "n_draws": np.array(len(rec.log), np.int32),
+        "bounds": np.asarray([0] + bounds, np.int32),
+    }
+    for j, (_, a) in enumerate(rec.log):
+        arrays[f"draw{j}"] = a
+    return {f"{name}/{k}": v for k, v in arrays.items()}
+
+
 def import_reference_package():
     """The full reference package (installs its own comfy stubs) — gives the
-    real node classes (MaskBlend)."""
+    real node classes (MaskBlend, KSAMPLER, KSamplerX0Inpaint)."""
+    if "lanpaint_ref" in sys.modules:
+        return sys.modules["lanpaint_ref"]
     spec = importlib.util.spec_from_file_location(
         "lanpaint_ref", REFERENCE_ROOT + "/__init__.py",
         submodule_search_locations=[REFERENCE_ROOT])
@@ -314,6 +502,33 @@ def main():
                           [0.7], 3, (1, 4, 8, 8), friction=0.0,
                           data_seed=11, expect_fallback=True))
     cases.update(run_maskblend_cases(torch))
+
+    # Full-ladder cases: the reference's complete outer path (patched
+    # KSAMPLER.sample + KSamplerX0Inpaint + k-diffusion loop) end-to-end.
+    import_reference_package()
+    ref_nodes = sys.modules["lanpaint_ref.src.LanPaint.nodes"]
+    eps_ladder = [14.6, 6.0, 2.4, 1.0, 0.4, 0.15, 0.0]
+    flow_ladder = [0.96, 0.8, 0.62, 0.44, 0.26, 0.12, 0.0]
+    cases.update(run_ladder_case(torch, ref_nodes, "ladder_euler_eps",
+                                 "eps", "euler", eps_ladder, 2, (1, 4, 8, 8),
+                                 data_seed=20))
+    cases.update(run_ladder_case(torch, ref_nodes, "ladder_dpmpp2m_eps",
+                                 "eps", "dpmpp_2m", eps_ladder, 2,
+                                 (1, 4, 8, 8), data_seed=21))
+    cases.update(run_ladder_case(torch, ref_nodes, "ladder_euler_flow",
+                                 "flow", "euler", flow_ladder, 2,
+                                 (1, 4, 8, 8), data_seed=22))
+    # leftover-noise ladder (ends at t=0.12): exercises the terminal
+    # inverse_noise_scaling division (reference nodes.py:248)
+    cases.update(run_ladder_case(torch, ref_nodes,
+                                 "ladder_euler_flow_leftover", "flow",
+                                 "euler", flow_ladder[:-1], 2, (1, 4, 8, 8),
+                                 data_seed=23))
+    # deeper outer-early-stop tail (EarlyStop=2): the LAST TWO steps must
+    # skip thinking (reference nodes.py:177-183 indexing)
+    cases.update(run_ladder_case(torch, ref_nodes, "ladder_euler_eps_tail2",
+                                 "eps", "euler", eps_ladder, 2, (1, 4, 8, 8),
+                                 early_stop=2, data_seed=24))
 
     import os
 

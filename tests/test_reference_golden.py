@@ -159,6 +159,95 @@ def test_reference_parity(goldens, name):
                                err_msg=f"{name}: blended x0 mismatch")
 
 
+LADDER_CASES = ["ladder_euler_eps", "ladder_dpmpp2m_eps", "ladder_euler_flow",
+                "ladder_euler_flow_leftover", "ladder_euler_eps_tail2"]
+
+
+def build_ladder_feed(z, name, total, n_max, shape):
+    """Per-outer-step noise feeds (total, n_max, 5, *shape) from the flat
+    recorded draw log, using the per-step boundaries the generator stored
+    (make_reference_goldens.run_ladder_case)."""
+    bounds = z[f"{name}/bounds"]
+    executed = z[f"{name}/executed"]
+    feed = np.zeros((total, n_max, 5) + shape, np.float32)
+    for i in range(total):
+        draws = [z[f"{name}/draw{j}"]
+                 for j in range(int(bounds[i]), int(bounds[i + 1]))]
+        e = int(executed[i])
+        if e == 0:
+            continue
+        feed[i, 0, 4] = draws[0]
+        feed[i, 0, 0] = draws[1][..., 0]
+        feed[i, 0, 1] = draws[1][..., 1]
+        k = 2
+        for j in range(1, e):
+            feed[i, j, 0] = draws[k][..., 0]
+            feed[i, j, 1] = draws[k][..., 1]
+            feed[i, j, 2] = draws[k + 1][..., 0]
+            feed[i, j, 3] = draws[k + 1][..., 1]
+            k += 2
+        assert k == len(draws)
+    return feed
+
+
+@pytest.mark.parametrize("name", LADDER_CASES)
+def test_reference_ladder_parity(goldens, name):
+    """FULL-ladder seed-for-seed parity vs the reference's outer path.
+
+    The goldens drove the reference's own patched KSAMPLER.sample +
+    KSamplerX0Inpaint through a k-diffusion outer loop (reference
+    nodes.py:137-249): initial noise scaling (nodes.py:221 incl. the
+    max_denoise sqrt(1+sigma^2) branch), per-step think loops with in-place
+    writeback (lanpaint.py:122), outer-early-stop tail indexing
+    (nodes.py:177-183, incl. EarlyStop=2), terminal inverse noise scaling
+    (nodes.py:248, incl. the leftover-noise flow division), for euler and
+    dpmpp_2m, eps and flow.  Here the identical run replays through the
+    public LanPaintSampler entry with noise_feed, and every per-step
+    denoised output plus the final samples must match.
+
+    The dummy backbone is expressed as (cond, uncond) passes mixed by OUR
+    CFG double-pass (guidance.py) with cfg=2/cfg_big=0.5, chosen so the
+    mixed pair equals the reference dummy's direct (0.4x+g, 0.55x-0.5g) —
+    the ladder therefore also covers the guider algebra end-to-end."""
+    from lanpaint_tpu import Denoiser, LanPaintConfig, LanPaintSampler
+
+    z = goldens
+    n_think, lamb, step_size, beta, friction, early_stop = (
+        float(v) for v in z[f"{name}/meta"])
+    kind = ModelKind.FLOW if int(z[f"{name}/kind"]) else ModelKind.EPS
+    g = jnp.asarray(z[f"{name}/g"])
+    sampler_name = "dpmpp_2m" if "dpmpp2m" in name else "euler"
+
+    def apply(x, t, cond):
+        c = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+        return c * (0.5 * x) + (1.0 - c) * (0.6 * x - g)
+
+    model = Denoiser(apply=apply, kind=kind)
+    config = LanPaintConfig(
+        n_steps=int(n_think), lamb=lamb, step_size=step_size, beta=beta,
+        friction=friction, outer_early_stop=int(early_stop))
+    sam = LanPaintSampler(model, config=config, sampler_name=sampler_name,
+                          cfg=2.0, cfg_big=0.5)
+    sigmas = z[f"{name}/sigmas"]
+    total = len(sigmas) - 1
+    shape = z[f"{name}/g"].shape
+    feed = build_ladder_feed(z, name, total, max(int(n_think), 1), shape)
+    mask2d = z[f"{name}/mask"][0, 0]  # repaint mask (channel-broadcast)
+    samples, den = sam(
+        latent=jnp.asarray(z[f"{name}/latent"]), sigmas=sigmas,
+        cond=jnp.ones((1, 1), jnp.float32),
+        uncond=jnp.zeros((1, 1), jnp.float32),
+        mask=jnp.asarray(mask2d), seed=0,
+        noise=jnp.asarray(z[f"{name}/noise"]),
+        noise_feed=jnp.asarray(feed))
+    np.testing.assert_allclose(
+        np.asarray(den), z[f"{name}/outs"], rtol=5e-4, atol=5e-4,
+        err_msg=f"{name}: per-step denoised history mismatch")
+    np.testing.assert_allclose(
+        np.asarray(samples), z[f"{name}/samples"], rtol=5e-4, atol=5e-4,
+        err_msg=f"{name}: final samples mismatch")
+
+
 @pytest.mark.parametrize("overlap", [3, 9])
 def test_maskblend_reference_parity(goldens, overlap):
     """mask_blend vs the reference MaskBlend node's recorded outputs
