@@ -12,14 +12,20 @@
 # trace-reuse case (test_attention), and the tiny end-to-end sampler run
 # (test_onchip).
 
+#   make check-fast   CPU suite minus @pytest.mark.slow (~<8 min) — the
+#                     tier a reviewer can run inside a 10-minute window
+
 PY ?= python
 
-.PHONY: check check-cpu check-chip
+.PHONY: check check-cpu check-fast check-chip
 
 check: check-cpu check-chip
 
 check-cpu:
 	$(PY) -m pytest tests/ -q
+
+check-fast:
+	$(PY) -m pytest tests/ -q -m "not slow"
 
 check-chip:
 	LANPAINT_TEST_TPU=1 $(PY) -m pytest tests/test_onchip.py \

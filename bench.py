@@ -256,10 +256,14 @@ def _fast_wan_params(cfg):
     from lanpaint_tpu.models.wan import WanModel
 
     cache = "/dev/shm/wan5b_params_fast.pkl"
-    if os.path.exists(cache):
-        log(f"bench: loading cached Wan params {cache}")
-        with open(cache, "rb") as fh:
-            return pickle.load(fh)
+    # any compatible cached tree works (values are timing-irrelevant):
+    # scripts/measure_wan_kv.py's init_params_host pickle has the same
+    # structure, so reuse it rather than generating a second 10 GB copy
+    for path in (cache, "/dev/shm/wan5b_params_r4.pkl"):
+        if os.path.exists(path):
+            log(f"bench: loading cached Wan params {path}")
+            with open(path, "rb") as fh:
+                return pickle.load(fh)
     module = WanModel(cfg)
     x = jnp.zeros((1, cfg.in_channels, 2, 16, 16), jnp.float32)
     ctx = jnp.zeros((1, 8, cfg.context_dim), jnp.float32)

@@ -3,15 +3,21 @@ LanPaint_SamplerCustomAdvanced with 5 think-steps, lambda 16, step-size 0.15,
 FluxGuidance 4 (embedded), euler, Flux2Scheduler 20 steps; flux2_dev +
 Mistral-Small-3.1 text features + flux2-vae).
 
+The workflow also routes the source image's VAE latent through a
+ReferenceLatent node into the positive conditioning — Flux.2 attends to
+packed reference-latent tokens appended to the stream (the same mechanism
+as Qwen-Image-Edit); mirrored here via cond["ref_tokens"].
+
 FLUX2_DEV_CONFIG is a structural stand-in on the generic MMDiT — the
-encoder width (5120) and guidance embedding are workflow-pinned facts, the
-DiT topology is not retrievable offline (docs/family_facts.md)."""
+encoder width (5120), guidance embedding and reference-latent conditioning
+are workflow-pinned facts, the DiT topology is not retrievable offline
+(docs/family_facts.md)."""
 
 import jax.numpy as jnp
 
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import sample_custom_advanced
-from lanpaint_tpu.models.dit import FLUX2_DEV_CONFIG, TINY_DIT_CONFIG
+from lanpaint_tpu.models.dit import FLUX2_DEV_CONFIG, TINY_DIT_CONFIG, pack_latent
 from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_flux2_dev, build_tiny_dit
 from lanpaint_tpu.sigmas import calculate_sigmas
@@ -35,6 +41,9 @@ def main():
                 "vec": jnp.zeros((b, cfg.vec_dim), jnp.float32)}
 
     latent = jnp.zeros((b, cfg.latent_channels, hw, hw), jnp.float32)
+    # ReferenceLatent conditioning (workflow-pinned): the source latent
+    # rides the token stream as packed reference tokens
+    cond["ref_tokens"] = pack_latent(latent, cfg.patch)
     mask = center_square_mask(hw * 8, hw * 8)
     sigmas = jnp.asarray(
         calculate_sigmas(model.sigma_table, "simple", args.steps))

@@ -9,9 +9,13 @@ realizes the reference's in-place `input_x.copy_(x)` writeback
 Langevin-refined iterate.
 
 All solvers share one carry layout (two denoised-history slots + two
-step-size-history scalars) so a single scan skeleton serves every method;
-data-dependent second model calls (heun, dpm_2, dpmpp_sde at the final step)
-sit behind `lax.cond` so the final-step shortcut skips the forward at runtime.
+step-size-history scalars) so a single scan skeleton serves every method.
+Multi-model-call methods (heun family, dpm_2, dpmpp_sde, seeds_*) run their
+stages through ONE model call site (`_staged`: lax.scan over the stage index
++ lax.switch on the evaluation point), so the compiled program contains a
+single think-loop/backbone instance regardless of stage count — data-
+dependent stage skips (the final-step shortcut) stay behind lax.cond inside
+the shared site, so runtime cost is unchanged.
 
 ModelFn signature: (x, sigma_scalar, key) -> (denoised, x_new).
 """
@@ -86,6 +90,67 @@ def _neg_log(s):
     return -jnp.log(jnp.maximum(s, 1e-10))
 
 
+def _staged(model, key, branches, needs, x_like):
+    """Run an n-stage solver step through ONE model call site.
+
+    Multi-model-call solvers (heun family, dpm_2, dpmpp_sde, seeds_*) used
+    to call `model` at 2-4 separate call sites (some inside lax.cond
+    branches); each site instantiates the full LanPaint think loop AND the
+    backbone in the compiled program — the compile-time multiplier the
+    engine's single-call-site design exists to avoid (engine.py "one
+    backbone instance per program"; scripts/measure_solver_compile.py
+    measures it).  Here the stages run as a lax.scan over the stage index
+    with lax.switch selecting each stage's (x_eval, sigma_eval): one model
+    instance regardless of stage count.
+
+    `branches[j](dens, xs) -> (x_eval, sigma_eval)`: stage j's evaluation
+    point, computed from the stage output buffers (row k < j holds stage
+    k's (denoised, x_refined); later rows are zeros).  `needs[j]` gates
+    stage j behind lax.cond (False = the reference semantics skip the call,
+    e.g. every second-stage call on the final ladder step) so runtime cost
+    is unchanged; skipped stages leave zeros in their rows.  Stage j's
+    model call consumes fold_in(key, 100 + j) — identical to the previous
+    per-call-site key layout, so results are bit-for-bit unchanged.
+
+    Aux mode (sample(collect_aux=True) wraps the model in _aux_capturing,
+    which must stash its tracer at the solver's trace level, not inside an
+    inner scan): stage 0 runs at top level and only stages 1.. are scanned
+    — two instances, acceptable for the diagnostics path.
+
+    Returns (dens, xs): (n_stages, *x) stacked stage outputs.
+    """
+    n = len(branches)
+    needs = jnp.stack([jnp.asarray(v) for v in needs])
+    zeros = jnp.zeros((n,) + x_like.shape, x_like.dtype)
+
+    def run_stage(j, dens, xs):
+        x_eval, s_eval = lax.switch(j, branches, dens, xs)
+        return lax.cond(
+            needs[j],
+            lambda xe, se: model(xe, se, jax.random.fold_in(key, 100 + j)),
+            lambda xe, se: (jnp.zeros_like(xe), jnp.zeros_like(xe)),
+            x_eval, s_eval)
+
+    def body(carry, j):
+        dens, xs = carry
+        den_j, x_j = run_stage(j, dens, xs)
+        dens = lax.dynamic_update_index_in_dim(
+            dens, den_j.astype(dens.dtype), j, 0)
+        xs = lax.dynamic_update_index_in_dim(xs, x_j.astype(xs.dtype), j, 0)
+        return (dens, xs), None
+
+    if getattr(model, "aux_capturing", False):
+        x0, s0 = branches[0](zeros, zeros)
+        den0, xr0 = model(x0, s0, jax.random.fold_in(key, 100))
+        dens = zeros.at[0].set(den0.astype(zeros.dtype))
+        xs = zeros.at[0].set(xr0.astype(zeros.dtype))
+        if n > 1:
+            (dens, xs), _ = lax.scan(body, (dens, xs), jnp.arange(1, n))
+        return dens, xs
+    (dens, xs), _ = lax.scan(body, (zeros, zeros), jnp.arange(n))
+    return dens, xs
+
+
 # --------------------------------------------------------------------------
 # Solvers.  Each: fn(model, carry, sigma, sigma_next, i, key) -> (carry, den)
 
@@ -108,17 +173,19 @@ def _euler_ancestral(model, c, s, sn, i, key):
 
 @register_solver("heun")
 def _heun(model, c, s, sn, i, key):
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        return x + _to_d(x, s, den) * (sn - s), sn
+
+    dens, xs = _staged(model, key, [p0, p1], [True, sn > 0], c.x)
+    x, den = xs[0], dens[0]
     d = _to_d(x, s, den)
     dt = sn - s
-    x_eul = x + d * dt
-
-    def second(x_eul):
-        den2, x2 = model(x_eul, sn, jax.random.fold_in(key, 101))
-        d2 = _to_d(x2, sn, den2)
-        return x + (d + d2) / 2.0 * dt
-
-    x = lax.cond(sn > 0, second, lambda xe: xe, x_eul)
+    d2 = _to_d(xs[1], sn, dens[1])
+    x = jnp.where(sn > 0, x + (d + d2) / 2.0 * dt, x + d * dt)
     return c._replace(x=x), den
 
 
@@ -144,34 +211,33 @@ def _heunpp2(model, c, s, sn, i, key, ctx=None):
         s_end = sigmas[last]
         snn = sigmas[jnp.minimum(i + 2, last)]
         sigma0 = sigmas[0]
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        return x + _to_d(x, s, den) * (sn - s), sn
+
+    def p2(dens, xs):
+        x2, den2 = xs[1], dens[1]
+        return x2 + _to_d(x2, sn, den2) * (snn - sn), snn
+
+    not_last = sn != s_end
+    dens, xs = _staged(model, key, [p0, p1, p2],
+                       [True, not_last, not_last & (snn != s_end)], c.x)
+    x, den = xs[0], dens[0]
     d = _to_d(x, s, den)
     dt = sn - s
-
-    def euler(x):
-        return x + d * dt
-
-    def heun(x):
-        x_2 = x + d * dt
-        den2, x2 = model(x_2, sn, jax.random.fold_in(key, 101))
-        d2 = _to_d(x2, sn, den2)
-        w2 = sn / (2.0 * sigma0)
-        return x + (d * (1.0 - w2) + d2 * w2) * dt
-
-    def heunpp(x):
-        x_2 = x + d * dt
-        den2, x2 = model(x_2, sn, jax.random.fold_in(key, 101))
-        d2 = _to_d(x2, sn, den2)
-        x_3 = x2 + d2 * (snn - sn)
-        den3, x3 = model(x_3, snn, jax.random.fold_in(key, 102))
-        d3 = _to_d(x3, snn, den3)
-        w2 = sn / (3.0 * sigma0)
-        w3 = snn / (3.0 * sigma0)
-        return x + ((1.0 - w2 - w3) * d + w2 * d2 + w3 * d3) * dt
-
-    x = lax.cond(
-        sn == s_end, euler,
-        lambda x: lax.cond(snn == s_end, heun, heunpp, x), x)
+    d2 = _to_d(xs[1], sn, dens[1])
+    d3 = _to_d(xs[2], snn, dens[2])
+    w2h = sn / (2.0 * sigma0)
+    w2 = sn / (3.0 * sigma0)
+    w3 = snn / (3.0 * sigma0)
+    x_eul = x + d * dt
+    x_heun = x + (d * (1.0 - w2h) + d2 * w2h) * dt
+    x_pp = x + ((1.0 - w2 - w3) * d + w2 * d2 + w3 * d3) * dt
+    x = jnp.where(sn == s_end, x_eul,
+                  jnp.where(snn == s_end, x_heun, x_pp))
     return c._replace(x=x), den
 
 
@@ -180,35 +246,42 @@ _heunpp2.needs_ctx = True
 
 @register_solver("dpm_2")
 def _dpm_2(model, c, s, sn, i, key):
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sn, 1e-10))))
+
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        return x + _to_d(x, s, den) * (s_mid - s), s_mid
+
+    dens, xs = _staged(model, key, [p0, p1], [True, sn > 0], c.x)
+    x, den = xs[0], dens[0]
     d = _to_d(x, s, den)
-
-    def second(x):
-        s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sn, 1e-10))))
-        x2 = x + d * (s_mid - s)
-        den2, x2 = model(x2, s_mid, jax.random.fold_in(key, 101))
-        d2 = _to_d(x2, s_mid, den2)
-        return x + d2 * (sn - s)
-
-    x = lax.cond(sn > 0, second, lambda x: x + d * (sn - s), x)
+    d2 = _to_d(xs[1], s_mid, dens[1])
+    x = jnp.where(sn > 0, x + d2 * (sn - s), x + d * (sn - s))
     return c._replace(x=x), den
 
 
 @register_solver("dpm_2_ancestral")
 def _dpm_2_ancestral(model, c, s, sn, i, key):
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
     sd, su = _ancestral_step(s, sn)
+    s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sd, 1e-10))))
+
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        return x + _to_d(x, s, den) * (s_mid - s), s_mid
+
+    dens, xs = _staged(model, key, [p0, p1], [True, sd > 0], c.x)
+    x, den = xs[0], dens[0]
     d = _to_d(x, s, den)
-
-    def second(x):
-        s_mid = jnp.exp(0.5 * (jnp.log(s) + jnp.log(jnp.maximum(sd, 1e-10))))
-        x2 = x + d * (s_mid - s)
-        den2, x2 = model(x2, s_mid, jax.random.fold_in(key, 101))
-        d2 = _to_d(x2, s_mid, den2)
-        xo = x + d2 * (sd - s)
-        return xo + _noise_like(xo, jax.random.fold_in(key, 0)) * su
-
-    x = lax.cond(sd > 0, second, lambda x: x + d * (sn - s), x)
+    d2 = _to_d(xs[1], s_mid, dens[1])
+    xo = x + d2 * (sd - s)
+    xo = xo + _noise_like(xo, jax.random.fold_in(key, 0)) * su
+    x = jnp.where(sd > 0, xo, x + d * (sn - s))
     return c._replace(x=x), den
 
 
@@ -299,28 +372,33 @@ def _dpmpp_3m_sde(model, c, s, sn, i, key, eta=1.0):
 
 @register_solver("dpmpp_sde", "dpmpp_sde_gpu")
 def _dpmpp_sde(model, c, s, sn, i, key, eta=1.0, r=0.5):
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    t, tn = _neg_log(s), _neg_log(sn)
+    h = tn - t
+    s_mid_t = t + h * r
+    sig = lambda tt: jnp.exp(-tt)
 
-    def second(x):
-        t, tn = _neg_log(s), _neg_log(sn)
-        h = tn - t
-        s_mid_t = t + h * r
-        sig = lambda tt: jnp.exp(-tt)
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
         # stage 1 (to the midpoint, with its own ancestral split)
+        x, den = xs[0], dens[0]
         sd1, su1 = _ancestral_step(sig(t), sig(s_mid_t), eta)
         t_mid_d = _neg_log(sd1)
         x2 = (sig(t_mid_d) / sig(t)) * x - jnp.expm1(t - t_mid_d) * den
         x2 = x2 + _noise_like(x2, jax.random.fold_in(key, 0)) * su1
-        den2, x2 = model(x2, sig(s_mid_t), jax.random.fold_in(key, 101))
-        # stage 2 (full step)
-        sd2, su2 = _ancestral_step(sig(t), sig(tn), eta)
-        tn_d = _neg_log(sd2)
-        fac = 1.0 / (2.0 * r)
-        den_d = (1 - fac) * den + fac * den2
-        x3 = (sig(tn_d) / sig(t)) * x - jnp.expm1(t - tn_d) * den_d
-        return x3 + _noise_like(x3, jax.random.fold_in(key, 1)) * su2
+        return x2, sig(s_mid_t)
 
-    x = lax.cond(sn > 0, second, lambda x: x + _to_d(x, s, den) * (sn - s), x)
+    dens, xs = _staged(model, key, [p0, p1], [True, sn > 0], c.x)
+    x, den = xs[0], dens[0]
+    # stage 2 (full step)
+    sd2, su2 = _ancestral_step(sig(t), sig(tn), eta)
+    tn_d = _neg_log(sd2)
+    fac = 1.0 / (2.0 * r)
+    den_d = (1 - fac) * den + fac * dens[1]
+    x3 = (sig(tn_d) / sig(t)) * x - jnp.expm1(t - tn_d) * den_d
+    x3 = x3 + _noise_like(x3, jax.random.fold_in(key, 1)) * su2
+    x = jnp.where(sn > 0, x3, x + _to_d(x, s, den) * (sn - s))
     return c._replace(x=x), den
 
 
@@ -360,30 +438,36 @@ def _seeds_2(model, c, s, sn, i, key, eta=1.0, r=0.5, s_noise=1.0):
     """SEEDS-2: 2-stage stochastic exponential derivative-free solver
     (Gonzalez et al. 2023).  eta=0 reduces to the deterministic 2-stage
     exponential midpoint method (validated against the closed form)."""
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    t, tn = _neg_log(s), _neg_log(sn)
+    h = tn - t
+    h_eta = h * (eta + 1.0)
+    s_mid_t = t + r * h
+    sigma_mid = jnp.exp(-s_mid_t)
+    fac = 1.0 / (2.0 * r)
+    coeff_1 = jnp.expm1(-r * h_eta)
+    coeff_2 = jnp.expm1(-h_eta)
+    nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r * h * eta), 0.0))
+    nc_2 = jnp.sqrt(jnp.maximum(
+        jnp.expm1(-2 * r * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
 
-    def step(x):
-        t, tn = _neg_log(s), _neg_log(sn)
-        h = tn - t
-        h_eta = h * (eta + 1.0)
-        s_mid_t = t + r * h
-        sigma_mid = jnp.exp(-s_mid_t)
-        fac = 1.0 / (2.0 * r)
-        coeff_1 = jnp.expm1(-r * h_eta)
-        coeff_2 = jnp.expm1(-h_eta)
-        nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r * h * eta), 0.0))
-        nc_2 = jnp.sqrt(jnp.maximum(
-            jnp.expm1(-2 * r * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
         n1 = _noise_like(x, jax.random.fold_in(key, 0))
-        n2 = _noise_like(x, jax.random.fold_in(key, 1))
+        x_2 = (coeff_1 + 1) * x - coeff_1 * den \
+            + sigma_mid * nc_1 * n1 * s_noise
+        return x_2, sigma_mid
 
-        x_2 = (coeff_1 + 1) * x - coeff_1 * den + sigma_mid * nc_1 * n1 * s_noise
-        den_2, x_2 = model(x_2, sigma_mid, jax.random.fold_in(key, 101))
-        den_d = (1 - fac) * den + fac * den_2
-        x3 = (coeff_2 + 1) * x - coeff_2 * den_d
-        return x3 + sn * (nc_2 * n1 + nc_1 * n2) * s_noise
-
-    x = lax.cond(sn > 0, step, lambda x: den, x)
+    dens, xs = _staged(model, key, [p0, p1], [True, sn > 0], c.x)
+    x, den = xs[0], dens[0]
+    n1 = _noise_like(x, jax.random.fold_in(key, 0))
+    n2 = _noise_like(x, jax.random.fold_in(key, 1))
+    den_d = (1 - fac) * den + fac * dens[1]
+    x3 = (coeff_2 + 1) * x - coeff_2 * den_d
+    x3 = x3 + sn * (nc_2 * n1 + nc_1 * n2) * s_noise
+    x = jnp.where(sn > 0, x3, den)
     return c._replace(x=x), den
 
 
@@ -391,39 +475,48 @@ def _seeds_2(model, c, s, sn, i, key, eta=1.0, r=0.5, s_noise=1.0):
 def _seeds_3(model, c, s, sn, i, key, eta=1.0, r_1=1.0 / 3.0, r_2=2.0 / 3.0,
              s_noise=1.0):
     """SEEDS-3: 3-stage stochastic exponential solver."""
-    den, x = model(c.x, s, jax.random.fold_in(key, 100))
+    t, tn = _neg_log(s), _neg_log(sn)
+    h = tn - t
+    h_eta = h * (eta + 1.0)
+    s1_t, s2_t = t + r_1 * h, t + r_2 * h
+    sig_1, sig_2 = jnp.exp(-s1_t), jnp.exp(-s2_t)
+    coeff_1 = jnp.expm1(-r_1 * h_eta)
+    coeff_2 = jnp.expm1(-r_2 * h_eta)
+    coeff_3 = jnp.expm1(-h_eta)
+    nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r_1 * h * eta), 0.0))
+    nc_2 = jnp.sqrt(jnp.maximum(
+        jnp.expm1(-2 * r_1 * h * eta) - jnp.expm1(-2 * r_2 * h * eta), 0.0))
+    nc_3 = jnp.sqrt(jnp.maximum(
+        jnp.expm1(-2 * r_2 * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
 
-    def step(x):
-        t, tn = _neg_log(s), _neg_log(sn)
-        h = tn - t
-        h_eta = h * (eta + 1.0)
-        s1_t, s2_t = t + r_1 * h, t + r_2 * h
-        sig_1, sig_2 = jnp.exp(-s1_t), jnp.exp(-s2_t)
-        coeff_1 = jnp.expm1(-r_1 * h_eta)
-        coeff_2 = jnp.expm1(-r_2 * h_eta)
-        coeff_3 = jnp.expm1(-h_eta)
-        nc_1 = jnp.sqrt(jnp.maximum(-jnp.expm1(-2 * r_1 * h * eta), 0.0))
-        nc_2 = jnp.sqrt(jnp.maximum(
-            jnp.expm1(-2 * r_1 * h * eta) - jnp.expm1(-2 * r_2 * h * eta), 0.0))
-        nc_3 = jnp.sqrt(jnp.maximum(
-            jnp.expm1(-2 * r_2 * h * eta) - jnp.expm1(-2 * h * eta), 0.0))
+    def p0(dens, xs):
+        return c.x, s
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        n1 = _noise_like(x, jax.random.fold_in(key, 0))
+        x_2 = (coeff_1 + 1) * x - coeff_1 * den + sig_1 * nc_1 * n1 * s_noise
+        return x_2, sig_1
+
+    def p2(dens, xs):
+        x, den = xs[0], dens[0]
         n1 = _noise_like(x, jax.random.fold_in(key, 0))
         n2 = _noise_like(x, jax.random.fold_in(key, 1))
-        n3 = _noise_like(x, jax.random.fold_in(key, 2))
-
-        x_2 = (coeff_1 + 1) * x - coeff_1 * den + sig_1 * nc_1 * n1 * s_noise
-        den_2, x_2 = model(x_2, sig_1, jax.random.fold_in(key, 101))
-
         x_3 = (coeff_2 + 1) * x - coeff_2 * den \
-            + (r_2 / r_1) * (coeff_2 / (r_2 * h_eta) + 1) * (den_2 - den)
+            + (r_2 / r_1) * (coeff_2 / (r_2 * h_eta) + 1) * (dens[1] - den)
         x_3 = x_3 + sig_2 * (nc_2 * n1 + nc_1 * n2) * s_noise
-        den_3, x_3 = model(x_3, sig_2, jax.random.fold_in(key, 102))
+        return x_3, sig_2
 
-        x4 = (coeff_3 + 1) * x - coeff_3 * den \
-            + (1.0 / r_2) * (coeff_3 / h_eta + 1) * (den_3 - den)
-        return x4 + sn * (nc_3 * n1 + nc_2 * n2 + nc_1 * n3) * s_noise
-
-    x = lax.cond(sn > 0, step, lambda x: den, x)
+    dens, xs = _staged(model, key, [p0, p1, p2],
+                       [True, sn > 0, sn > 0], c.x)
+    x, den = xs[0], dens[0]
+    n1 = _noise_like(x, jax.random.fold_in(key, 0))
+    n2 = _noise_like(x, jax.random.fold_in(key, 1))
+    n3 = _noise_like(x, jax.random.fold_in(key, 2))
+    x4 = (coeff_3 + 1) * x - coeff_3 * den \
+        + (1.0 / r_2) * (coeff_3 / h_eta + 1) * (dens[2] - den)
+    x4 = x4 + sn * (nc_3 * n1 + nc_2 * n2 + nc_1 * n3) * s_noise
+    x = jnp.where(sn > 0, x4, den)
     return c._replace(x=x), den
 
 
@@ -829,4 +922,8 @@ def _aux_capturing(model, cell):
             cell.append(aux)
         return den, xn
 
+    # _staged keys on this: the aux tracer must be stashed at the solver's
+    # trace level, so staged solvers run their first call OUTSIDE the
+    # stage scan when aux capture is active
+    m.aux_capturing = True
     return m
