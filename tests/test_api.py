@@ -220,6 +220,7 @@ def test_node_entry_points_reuse_compiled_sampler():
     # dpm_fast; this was the last solver-matrix asymmetry, VERDICT r3)
     "dpm_fast",
 ])
+@pytest.mark.slow
 def test_chunked_launches_match_single_launch(sampler_name):
     """chunk_steps splits the ladder into multiple jitted launches; the
     result must equal the single launch exactly (same per-step RNG stream,

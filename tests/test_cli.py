@@ -10,6 +10,10 @@ conventions, and the pipeline call contract.
 import numpy as np
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 import lanpaint_tpu.__main__ as cli
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lanpaint_tpu import Denoiser, LanPaintConfig, LanPaintSampler, ModelKind
 from lanpaint_tpu.sigmas import EpsSigmaTable, karras
@@ -18,6 +19,7 @@ def _toy():
     return Denoiser(apply=apply, kind=ModelKind.EPS, sigma_table=EpsSigmaTable())
 
 
+@pytest.mark.slow
 def test_same_seed_bitwise_identical():
     toy = _toy()
     latent = jnp.full((1, 4, 8, 8), 2.0, jnp.float32)

@@ -14,6 +14,10 @@ import sys
 
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 _EXAMPLES = sorted(
     p for p in glob.glob(os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -7,6 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 from lanpaint_tpu.models import load as L
 from lanpaint_tpu.models.dit import TINY_DIT_CONFIG, MMDiT
 from lanpaint_tpu.models.unet import TINY_UNET_CONFIG, UNetModel

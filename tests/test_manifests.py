@@ -19,6 +19,10 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 import manifests as M
 from lanpaint_tpu.models import load as L
 

@@ -6,6 +6,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 from lanpaint_tpu import ksampler
 from lanpaint_tpu.models.dit import image_ids, pack_latent, unpack_latent
 from lanpaint_tpu.models.unet import sdxl_pooled_y

@@ -5,6 +5,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 from lanpaint_tpu import Denoiser, LanPaintConfig, LanPaintSampler, ModelKind
 from lanpaint_tpu.parallel import MeshSpec, make_mesh, shard_batch
 from lanpaint_tpu.sigmas import EpsSigmaTable, karras

@@ -12,6 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# whole-module slow tier: model builds + XLA-CPU compiles dominate
+pytestmark = pytest.mark.slow
+
+
 from lanpaint_tpu import tokenizers as tk
 from lanpaint_tpu.models import textenc as TE
 from lanpaint_tpu.models.load import export_clip, export_unet, export_vae

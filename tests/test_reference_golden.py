@@ -278,6 +278,7 @@ def test_maskblend_overlap1_is_finite_hard_blend():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_goldens_regenerable_live():
     """When /root/reference is present, the committed goldens must match a
     fresh recording (guards against stale .npz after generator edits)."""
