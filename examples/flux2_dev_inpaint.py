@@ -20,7 +20,7 @@ from lanpaint_tpu import sample_custom_advanced
 from lanpaint_tpu.models.dit import FLUX2_DEV_CONFIG, TINY_DIT_CONFIG, pack_latent
 from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_flux2_dev, build_tiny_dit
-from lanpaint_tpu.sigmas import calculate_sigmas
+from lanpaint_tpu.sigmas import resolution_shift_sigmas
 
 
 def main():
@@ -45,8 +45,10 @@ def main():
     # rides the token stream as packed reference tokens
     cond["ref_tokens"] = pack_latent(latent, cfg.patch)
     mask = center_square_mask(hw * 8, hw * 8)
+    # Flux2Scheduler [steps, W, H] (workflow-pinned): resolution-shifted
+    # flow schedule (the public Flux dynamic-shift rule, sigmas.py)
     sigmas = jnp.asarray(
-        calculate_sigmas(model.sigma_table, "simple", args.steps))
+        resolution_shift_sigmas(args.steps, hw * 8, hw * 8))
 
     out, denoised = sample_custom_advanced(
         model, noise_seed=args.seed, cfg=1.0, positive=cond,

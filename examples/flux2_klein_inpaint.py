@@ -18,7 +18,7 @@ from lanpaint_tpu import sample_custom_advanced
 from lanpaint_tpu.models.dit import FLUX2_KLEIN_CONFIG, TINY_DIT_CONFIG, pack_latent
 from lanpaint_tpu.models.load import import_dit_guarded, load_safetensors
 from lanpaint_tpu.models.zoo import build_flux2_klein, build_tiny_dit
-from lanpaint_tpu.sigmas import calculate_sigmas
+from lanpaint_tpu.sigmas import resolution_shift_sigmas
 
 
 def main():
@@ -47,8 +47,9 @@ def main():
     cond["ref_tokens"] = ref
     uncond["ref_tokens"] = ref
     mask = center_square_mask(hw * 8, hw * 8)
+    # Flux2Scheduler [steps, 1024, 1024] (workflow-pinned)
     sigmas = jnp.asarray(
-        calculate_sigmas(model.sigma_table, "simple", args.steps))
+        resolution_shift_sigmas(args.steps, hw * 8, hw * 8))
 
     out, denoised = sample_custom_advanced(
         model, noise_seed=args.seed, cfg=5.0, positive=cond,

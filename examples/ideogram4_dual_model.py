@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from common import center_square_mask, example_argparser, report
 from lanpaint_tpu import sample_custom_advanced
 from lanpaint_tpu.models.zoo import build_tiny_dit, dual_model_denoiser
-from lanpaint_tpu.sigmas import calculate_sigmas
+from lanpaint_tpu.sigmas import resolution_shift_sigmas
 
 
 def main():
@@ -51,7 +51,10 @@ def main():
         neg = dict(cond, model_select=jnp.ones(()))
         latent = jnp.zeros((b, model.latent_channels, hw, hw), jnp.float32)
         mask = center_square_mask(hw * 8, hw * 8)
-        sigmas = jnp.asarray(calculate_sigmas(model.sigma_table, "simple", 20))
+        # Ideogram4Scheduler [20, 1024, 1024, 0.5, 1.75] (workflow-pinned):
+        # resolution-shifted flow schedule, widgets = (base, max) shift
+        sigmas = jnp.asarray(resolution_shift_sigmas(
+            20, 1024, 1024, base_shift=0.5, max_shift=1.75))
         out, _ = sample_custom_advanced(
             model, noise_seed=args.seed, cfg=4.0, positive=cond, negative=neg,
             sampler_name="euler", sigmas=sigmas, latent=latent, mask=mask,
@@ -74,7 +77,10 @@ def main():
 
     latent = jnp.zeros((b, model.latent_channels, hw, hw), jnp.float32)
     mask = center_square_mask(hw * 8, hw * 8)
-    sigmas = jnp.asarray(calculate_sigmas(model.sigma_table, "simple", 20))
+    # Ideogram4Scheduler [20, 1024, 1024, 0.5, 1.75] (workflow-pinned):
+    # resolution-shifted flow schedule, widgets = (base, max) shift
+    sigmas = jnp.asarray(resolution_shift_sigmas(
+        20, 1024, 1024, base_shift=0.5, max_shift=1.75))
 
     out, denoised = sample_custom_advanced(
         model, noise_seed=args.seed, cfg=4.0, positive=cond, negative=neg,

@@ -76,6 +76,9 @@ USE_SPLASH = _os.environ.get("LANPAINT_SPLASH", "1") != "0"
 SPLASH_MIN_S = 2048
 SPLASH_BLOCK_Q = 1024
 SPLASH_BLOCK_KV = 2048
+# inner compute tile along kv (<= SPLASH_BLOCK_KV); 512 confirmed optimal
+# by the r5 9-point sweep at S=4096 D=64 (scripts/sweep_splash.py)
+SPLASH_BLOCK_KV_COMPUTE = 512
 
 
 def _flash_block_sizes(s_padded: int, block: int):
@@ -90,8 +93,14 @@ def _flash_block_sizes(s_padded: int, block: int):
 
 
 @functools.lru_cache(maxsize=32)
-def _splash_kernel(s: int, h: int):
+def _splash_kernel(s: int, h: int, block_q: int = None, block_kv: int = None,
+                   block_kv_compute: int = None):
     """Cached splash-attention kernel for a full (non-causal) S x S mask.
+
+    Block sizes default to the module-level SPLASH_BLOCK_* tuning; the
+    explicit arguments exist so sweeps (scripts/sweep_splash.py) can key
+    the cache on a trial configuration instead of mutating globals under
+    an already-cached kernel.
 
     Built under `jax.ensure_compile_time_eval()`: make_splash_mha
     materializes its mask-info arrays with jnp.array at construction, and
@@ -107,13 +116,14 @@ def _splash_kernel(s: int, h: int):
     )
 
     mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
-    bkv = min(SPLASH_BLOCK_KV, s)
+    bq = min(block_q or SPLASH_BLOCK_Q, s)
+    bkv = min(block_kv or SPLASH_BLOCK_KV, s)
+    bkvc = min(block_kv_compute or SPLASH_BLOCK_KV_COMPUTE, bkv)
     with jax.ensure_compile_time_eval():
         return sk.make_splash_mha(
             mask=mask, head_shards=1, q_seq_shards=1,
-            block_sizes=sk.BlockSizes(block_q=min(SPLASH_BLOCK_Q, s),
-                                      block_kv=bkv,
-                                      block_kv_compute=min(bkv, 512)))
+            block_sizes=sk.BlockSizes(block_q=bq, block_kv=bkv,
+                                      block_kv_compute=bkvc))
 
 
 def _splash_attention(q, k, v, scale: float):
@@ -135,7 +145,10 @@ def _splash_attention(q, k, v, scale: float):
         q, k, v = (jnp.pad(t, padw) for t in (q, k, v))
         ids = (jnp.arange(s + pad) >= s).astype(jnp.int32)
         seg = sk.SegmentIds(q=ids, kv=ids)
-    kern = _splash_kernel(s + pad, h)
+    # pass the current tuning explicitly so the lru cache keys on it
+    # (a sweep that changes the module globals must not hit a stale kernel)
+    kern = _splash_kernel(s + pad, h, SPLASH_BLOCK_Q, SPLASH_BLOCK_KV,
+                          SPLASH_BLOCK_KV_COMPUTE)
 
     def one(qi, ki, vi):
         o = kern(jnp.transpose(qi * scale, (1, 0, 2)),

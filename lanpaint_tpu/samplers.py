@@ -666,33 +666,60 @@ def _dpm1(model, x, t, t_next, key, kidx):
     return x - sign * jnp.expm1(h) * eps, den
 
 
-def _dpm2(model, x, t, t_next, key, kidx, r1=0.5):
+def _dpm2(model, x_in, t, t_next, key, kidx, r1=0.5):
+    """Order-2 DPM-Solver group through ONE model call site (_staged;
+    kidx must be 100 so the stage folds match the previous kidx..kidx+1
+    layout bit-for-bit)."""
+    assert kidx == 100
     sig = jnp.exp(-t)
-    den, x = model(x, sig, jax.random.fold_in(key, kidx))
-    eps = _dpm_eps(x, sig, den)
     h = t_next - t
     s1 = t + r1 * h
-    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
-    den1, u1 = model(u1, jnp.exp(-s1), jax.random.fold_in(key, kidx + 1))
-    eps1 = _dpm_eps(u1, jnp.exp(-s1), den1)
+
+    def p0(dens, xs):
+        return x_in, sig
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        eps = _dpm_eps(x, sig, den)
+        return x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps, jnp.exp(-s1)
+
+    dens, xs = _staged(model, key, [p0, p1], [True, True], x_in)
+    x, den = xs[0], dens[0]
+    eps = _dpm_eps(x, sig, den)
+    eps1 = _dpm_eps(xs[1], jnp.exp(-s1), dens[1])
     x = x - jnp.exp(-t_next) * jnp.expm1(h) * eps \
         - jnp.exp(-t_next) / (2 * r1) * jnp.expm1(h) * (eps1 - eps)
     return x, den
 
 
-def _dpm3(model, x, t, t_next, key, kidx, r1=1.0 / 3.0, r2=2.0 / 3.0):
+def _dpm3(model, x_in, t, t_next, key, kidx, r1=1.0 / 3.0, r2=2.0 / 3.0):
+    """Order-3 DPM-Solver group through ONE model call site (see _dpm2)."""
+    assert kidx == 100
     sig = jnp.exp(-t)
-    den, x = model(x, sig, jax.random.fold_in(key, kidx))
-    eps = _dpm_eps(x, sig, den)
     h = t_next - t
     s1, s2 = t + r1 * h, t + r2 * h
-    u1 = x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps
-    den1, u1 = model(u1, jnp.exp(-s1), jax.random.fold_in(key, kidx + 1))
-    eps1 = _dpm_eps(u1, jnp.exp(-s1), den1)
-    u2 = x - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps \
-        - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) * (eps1 - eps)
-    den2, u2 = model(u2, jnp.exp(-s2), jax.random.fold_in(key, kidx + 2))
-    eps2 = _dpm_eps(u2, jnp.exp(-s2), den2)
+
+    def p0(dens, xs):
+        return x_in, sig
+
+    def p1(dens, xs):
+        x, den = xs[0], dens[0]
+        eps = _dpm_eps(x, sig, den)
+        return x - jnp.exp(-s1) * jnp.expm1(r1 * h) * eps, jnp.exp(-s1)
+
+    def p2(dens, xs):
+        x, den = xs[0], dens[0]
+        eps = _dpm_eps(x, sig, den)
+        eps1 = _dpm_eps(xs[1], jnp.exp(-s1), dens[1])
+        u2 = x - jnp.exp(-s2) * jnp.expm1(r2 * h) * eps \
+            - jnp.exp(-s2) * (r2 / r1) * (jnp.expm1(r2 * h) / (r2 * h) - 1) \
+            * (eps1 - eps)
+        return u2, jnp.exp(-s2)
+
+    dens, xs = _staged(model, key, [p0, p1, p2], [True, True, True], x_in)
+    x, den = xs[0], dens[0]
+    eps = _dpm_eps(x, sig, den)
+    eps2 = _dpm_eps(xs[2], jnp.exp(-s2), dens[2])
     x = x - jnp.exp(-t_next) * jnp.expm1(h) * eps \
         - jnp.exp(-t_next) / r2 * (jnp.expm1(h) / h - 1) * (eps2 - eps)
     return x, den

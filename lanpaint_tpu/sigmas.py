@@ -126,6 +126,38 @@ def exponential(n: int, sigma_min: float, sigma_max: float) -> np.ndarray:
     return np.append(sig, 0.0)
 
 
+def flux_time_shift(mu: float, sigma: float, t: np.ndarray) -> np.ndarray:
+    """The public Flux time-shift map exp(mu) / (exp(mu) + (1/t - 1)^sigma).
+
+    With sigma=1 and mu=log(s) this is exactly the static flow shift
+    s*t / (1 + (s-1)*t) (FlowSigmaTable) — tested equivalent."""
+    t = np.asarray(t, np.float64)
+    return np.exp(mu) / (np.exp(mu) + (1.0 / np.maximum(t, 1e-12) - 1.0) ** sigma)
+
+
+def resolution_shift_sigmas(steps: int, width: int, height: int,
+                            base_shift: float = 0.5,
+                            max_shift: float = 1.15) -> np.ndarray:
+    """Resolution-dependent flow schedule (the public Flux sampling rule:
+    mu lerps base_shift -> max_shift over image_seq_len 256..4096, applied
+    as flux_time_shift over linspace(1, 0)).
+
+    This is the scheduler surface behind the reference workflows'
+    resolution-aware nodes: `Flux2Scheduler [steps, W, H]`
+    (Flux.2.Dev_Inpaint.json / Flux2_Klein_inpainting.json) and
+    `Ideogram4Scheduler [steps, W, H, base, max]` — whose trailing widgets
+    (0.5, 1.75) are exactly (base_shift, max_shift)
+    (Ideogram4_LanPaint_Inpaint.json).  image_seq_len = (W/16)*(H/16)
+    packed-latent tokens.  Returns steps+1 descending sigmas ending in 0."""
+    seq_len = (width // 16) * (height // 16)
+    m = (max_shift - base_shift) / (4096 - 256)
+    b = base_shift - m * 256
+    mu = m * seq_len + b
+    t = np.linspace(1.0, 0.0, steps + 1, dtype=np.float64)
+    out = np.where(t > 0, flux_time_shift(mu, 1.0, t), 0.0)
+    return out.astype(np.float32)
+
+
 def normal_scheduler(table, n: int, sgm: bool = False) -> np.ndarray:
     """Uniform in timestep-percent through the model table (ComfyUI
     'normal' / 'sgm_uniform')."""

@@ -73,3 +73,35 @@ def test_apply_denoise_partial(eps_table):
 def test_unknown_scheduler_raises(eps_table):
     with pytest.raises(ValueError, match="unknown scheduler"):
         calculate_sigmas(eps_table, "nope", 10)
+
+
+def test_resolution_shift_static_equivalence():
+    """flux_time_shift(mu=log(s), 1, t) == the static flow shift
+    s*t/(1+(s-1)*t) (FlowSigmaTable's map) — the dynamic scheduler is the
+    same family with a resolution-dependent s."""
+    from lanpaint_tpu.sigmas import flux_time_shift
+
+    t = np.linspace(1.0, 0.01, 50)
+    for s in (1.0, 1.15, 3.0):
+        np.testing.assert_allclose(
+            flux_time_shift(np.log(s), 1.0, t),
+            s * t / (1 + (s - 1) * t), rtol=1e-12)
+
+
+def test_resolution_shift_sigmas_properties():
+    """Descending, ends at 0, starts at 1; larger images shift the middle
+    of the schedule up (more time at high noise); the Ideogram4Scheduler
+    widget pair (0.5, 1.75) maps onto (base_shift, max_shift)."""
+    from lanpaint_tpu.sigmas import resolution_shift_sigmas
+
+    sig = resolution_shift_sigmas(20, 1024, 1024)
+    assert sig.shape == (21,)
+    assert sig[0] == pytest.approx(1.0)
+    assert sig[-1] == 0.0
+    assert np.all(np.diff(sig) < 0)
+    small = resolution_shift_sigmas(20, 256, 256)
+    large = resolution_shift_sigmas(20, 2048, 2048)
+    assert np.all(large[1:-1] >= small[1:-1])
+    ideo = resolution_shift_sigmas(20, 1024, 1024,
+                                   base_shift=0.5, max_shift=1.75)
+    assert np.all(ideo[1:-1] >= sig[1:-1])  # higher max_shift lifts mu
