@@ -76,9 +76,12 @@ USE_SPLASH = _os.environ.get("LANPAINT_SPLASH", "1") != "0"
 SPLASH_MIN_S = 2048
 SPLASH_BLOCK_Q = 1024
 SPLASH_BLOCK_KV = 2048
-# inner compute tile along kv (<= SPLASH_BLOCK_KV); 512 confirmed optimal
-# by the r5 9-point sweep at S=4096 D=64 (scripts/sweep_splash.py)
-SPLASH_BLOCK_KV_COMPUTE = 512
+# inner compute tile along kv (<= SPLASH_BLOCK_KV).  None = auto by head
+# dim: the r5 sweep (scripts/sweep_splash.py, v5e 2026-08-20) measured
+# 1024 best at D=64 (S=4096 H=10: 1022 us vs 1057 at 512, legacy flash
+# 1101) but 512 best at D=128 (Wan S=5400 H=24: 4231 us vs 4385 at 1024);
+# larger bq/bkv tiles (2048/2048, */4096) VMEM-OOM at compile.
+SPLASH_BLOCK_KV_COMPUTE = None
 
 
 def _flash_block_sizes(s_padded: int, block: int):
@@ -118,7 +121,7 @@ def _splash_kernel(s: int, h: int, block_q: int = None, block_kv: int = None,
     mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
     bq = min(block_q or SPLASH_BLOCK_Q, s)
     bkv = min(block_kv or SPLASH_BLOCK_KV, s)
-    bkvc = min(block_kv_compute or SPLASH_BLOCK_KV_COMPUTE, bkv)
+    bkvc = min(block_kv_compute or SPLASH_BLOCK_KV_COMPUTE or 512, bkv)
     with jax.ensure_compile_time_eval():
         return sk.make_splash_mha(
             mask=mask, head_shards=1, q_seq_shards=1,
@@ -146,9 +149,10 @@ def _splash_attention(q, k, v, scale: float):
         ids = (jnp.arange(s + pad) >= s).astype(jnp.int32)
         seg = sk.SegmentIds(q=ids, kv=ids)
     # pass the current tuning explicitly so the lru cache keys on it
-    # (a sweep that changes the module globals must not hit a stale kernel)
-    kern = _splash_kernel(s + pad, h, SPLASH_BLOCK_Q, SPLASH_BLOCK_KV,
-                          SPLASH_BLOCK_KV_COMPUTE)
+    # (a sweep that changes the module globals must not hit a stale kernel);
+    # None -> head-dim-dependent auto rule (see SPLASH_BLOCK_KV_COMPUTE)
+    bkvc = SPLASH_BLOCK_KV_COMPUTE or (1024 if d == 64 else 512)
+    kern = _splash_kernel(s + pad, h, SPLASH_BLOCK_Q, SPLASH_BLOCK_KV, bkvc)
 
     def one(qi, ki, vi):
         o = kern(jnp.transpose(qi * scale, (1, 0, 2)),

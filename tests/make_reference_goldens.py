@@ -529,6 +529,11 @@ def main():
     cases.update(run_ladder_case(torch, ref_nodes, "ladder_euler_eps_tail2",
                                  "eps", "euler", eps_ladder, 2, (1, 4, 8, 8),
                                  early_stop=2, data_seed=24))
+    # 5D video latents through the whole outer path (the reference's 🎬
+    # mode shape; per-step video parity exists, this covers the ladder)
+    cases.update(run_ladder_case(torch, ref_nodes, "ladder_euler_eps_video",
+                                 "eps", "euler", eps_ladder, 2,
+                                 (1, 4, 3, 6, 6), data_seed=25))
 
     import os
 

@@ -160,7 +160,8 @@ def test_reference_parity(goldens, name):
 
 
 LADDER_CASES = ["ladder_euler_eps", "ladder_dpmpp2m_eps", "ladder_euler_flow",
-                "ladder_euler_flow_leftover", "ladder_euler_eps_tail2"]
+                "ladder_euler_flow_leftover", "ladder_euler_eps_tail2",
+                "ladder_euler_eps_video"]
 
 
 def build_ladder_feed(z, name, total, n_max, shape):
@@ -232,12 +233,15 @@ def test_reference_ladder_parity(goldens, name):
     total = len(sigmas) - 1
     shape = z[f"{name}/g"].shape
     feed = build_ladder_feed(z, name, total, max(int(n_think), 1), shape)
-    mask2d = z[f"{name}/mask"][0, 0]  # repaint mask (channel-broadcast)
+    # repaint mask (channel-broadcast): 2D for images, (T, H, W) for the
+    # 5D video case — exercised through the api's video mask path
+    mask = z[f"{name}/mask"][0, 0]
+    video = len(shape) == 5
     samples, den = sam(
         latent=jnp.asarray(z[f"{name}/latent"]), sigmas=sigmas,
         cond=jnp.ones((1, 1), jnp.float32),
         uncond=jnp.zeros((1, 1), jnp.float32),
-        mask=jnp.asarray(mask2d), seed=0,
+        mask=jnp.asarray(mask), seed=0, video=video,
         noise=jnp.asarray(z[f"{name}/noise"]),
         noise_feed=jnp.asarray(feed))
     np.testing.assert_allclose(
