@@ -74,7 +74,10 @@ FUSED_NORM = _os.environ.get("LANPAINT_FUSED_NORM", "1") != "0"
 # LANPAINT_SPLASH=0 reverts to the legacy flash kernel everywhere.
 USE_SPLASH = _os.environ.get("LANPAINT_SPLASH", "1") != "0"
 SPLASH_MIN_S = 2048
-SPLASH_BLOCK_Q = 1024
+# q tile: None = auto by head dim — the r5 sweeps measured bq=1024 best
+# at D=64 (S=4096: 1022 us vs 1037 at bq=512) but bq=512 best at D=128
+# (Wan S=5400: 4049 us vs 4137 at bq=1024)
+SPLASH_BLOCK_Q = None
 SPLASH_BLOCK_KV = 2048
 # inner compute tile along kv (<= SPLASH_BLOCK_KV).  None = auto by head
 # dim: the r5 sweep (scripts/sweep_splash.py, v5e 2026-08-20) measured
@@ -119,7 +122,7 @@ def _splash_kernel(s: int, h: int, block_q: int = None, block_kv: int = None,
     )
 
     mask = sm.MultiHeadMask([sm.FullMask((s, s))] * h)
-    bq = min(block_q or SPLASH_BLOCK_Q, s)
+    bq = min(block_q or SPLASH_BLOCK_Q or 1024, s)
     bkv = min(block_kv or SPLASH_BLOCK_KV, s)
     bkvc = min(block_kv_compute or SPLASH_BLOCK_KV_COMPUTE or 512, bkv)
     with jax.ensure_compile_time_eval():
@@ -150,9 +153,12 @@ def _splash_attention(q, k, v, scale: float):
         seg = sk.SegmentIds(q=ids, kv=ids)
     # pass the current tuning explicitly so the lru cache keys on it
     # (a sweep that changes the module globals must not hit a stale kernel);
-    # None -> head-dim-dependent auto rule (see SPLASH_BLOCK_KV_COMPUTE)
+    # None -> head-dim-dependent auto rules (see SPLASH_BLOCK_Q /
+    # SPLASH_BLOCK_KV_COMPUTE comments: D=64 wants wider q tiles and a
+    # bigger compute tile than D=128)
+    bq = SPLASH_BLOCK_Q or (1024 if d == 64 else 512)
     bkvc = SPLASH_BLOCK_KV_COMPUTE or (1024 if d == 64 else 512)
-    kern = _splash_kernel(s + pad, h, SPLASH_BLOCK_Q, SPLASH_BLOCK_KV, bkvc)
+    kern = _splash_kernel(s + pad, h, bq, SPLASH_BLOCK_KV, bkvc)
 
     def one(qi, ki, vi):
         o = kern(jnp.transpose(qi * scale, (1, 0, 2)),
