@@ -70,7 +70,9 @@ FUSED_NORM = _os.environ.get("LANPAINT_FUSED_NORM", "1") != "0"
 # flash 1358 us/call vs splash bq=1024/bkv=2048 1109 us/call — ~18% raw,
 # ~35% net of the harness's fixed ~660 us overhead (calibrated from the
 # S=1024 row where in-program flash is known to be 74 us).  S=1024 was
-# inside harness noise, so the legacy kernel keeps that shape.
+# inside harness noise in r3; re-measured r5 with the tuned tiles: legacy
+# flash clearly wins there (582 vs 866 us/call, H=20 D=64), so the legacy
+# kernel keeps every shape below SPLASH_MIN_S.
 # LANPAINT_SPLASH=0 reverts to the legacy flash kernel everywhere.
 USE_SPLASH = _os.environ.get("LANPAINT_SPLASH", "1") != "0"
 SPLASH_MIN_S = 2048
