@@ -35,9 +35,10 @@ after every optional block and the selftest, under a hard driver timeout):
   driver parses the last valid line, so a timeout mid-block still records
   everything measured so far;
 * every optional block has a wall-clock budget check against
-  LANPAINT_BENCH_BUDGET_S (default 1500 s total): blocks that do not fit
-  are skipped with a note in `skipped_blocks`, and the on-chip selftest
-  gets whatever remains (min 300 s to bother).
+  LANPAINT_BENCH_BUDGET_S (default 1900 s total — the measured warm full
+  run is 1811 s): blocks that do not fit are skipped with a note in
+  `skipped_blocks`, and the on-chip selftest gets whatever remains
+  (min 300 s to bother).
 
 Optional same-run measurement blocks (each adds a full compile+timing):
 * LANPAINT_BENCH_FUSED=1  — the fused Pallas pointwise path (historically
@@ -87,7 +88,11 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 T_START = time.perf_counter()
-BUDGET_S = float(os.environ.get("LANPAINT_BENCH_BUDGET_S", "1500"))
+# default sized from the measured warm full run (1811 s, 2026-08-20:
+# headline+wan+splash+b4+selftest): every block fits; if the driver's own
+# timeout is tighter, the incremental emission still preserves everything
+# measured up to the kill
+BUDGET_S = float(os.environ.get("LANPAINT_BENCH_BUDGET_S", "1900"))
 
 STEPS = 20
 THINK_STEPS = 5
