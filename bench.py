@@ -483,7 +483,15 @@ def _quality_canary() -> dict:
 
 def main():
     _probe_device()
-    secs = _time_path(fused=False)
+    try:
+        secs = _time_path(fused=False)
+    except Exception as e:  # r3 failure mode: a crash before ANY output
+        print(json.dumps({
+            "metric": "sdxl1024_inpaint_20x5think_wallclock",
+            "value": None, "unit": "seconds", "vs_baseline": None,
+            "error": f"headline run failed: {repr(e)[:500]}",
+        }), flush=True)
+        raise
     result = {
         "metric": "sdxl1024_inpaint_20x5think_wallclock",
         "value": round(secs, 3),
