@@ -213,3 +213,63 @@ def test_unknown_sampler_raises():
 def test_gpu_aliases_present():
     for n in ["dpmpp_sde_gpu", "dpmpp_2m_sde_gpu", "dpmpp_3m_sde_gpu"]:
         samplers.get_solver(n)
+
+
+def test_single_model_instance_per_solver_step():
+    """Structural invariant behind TPU compile time: every solver step must
+    contain exactly ONE model call site (samplers._staged), because each
+    instantiation of the model embeds the full LanPaint think loop + backbone
+    in the compiled program (engine.py "one backbone instance per program";
+    the r4 multi-call solvers carried 2-4 and compiled up to 2x slower —
+    scripts/measure_solver_compile.py).  The model stand-in contains one
+    lax.while_loop, so counting `while` primitives in the step jaxpr counts
+    model instantiations."""
+    import lanpaint_tpu.samplers as S
+
+    from jax import lax
+
+    def model(x, s, k):
+        def body(c):
+            i, xx = c
+            return i + 1, xx * 0.9 + 0.01 * s
+
+        _, out = lax.while_loop(lambda c: c[0] < 3, body, (0, x))
+        return out, out * 0.99
+
+    def count_whiles(jaxpr):
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name == "while":
+                n += 1
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):  # ClosedJaxpr
+                    n += count_whiles(v.jaxpr)
+                elif isinstance(v, (list, tuple)):
+                    for item in v:
+                        if hasattr(item, "jaxpr"):
+                            n += count_whiles(item.jaxpr)
+        return n
+
+    x = jnp.zeros((1, 4, 8, 8))
+    key = jax.random.PRNGKey(0)
+    for name in ["euler", "heun", "heunpp2", "dpm_2", "dpm_2_ancestral",
+                 "dpmpp_sde", "seeds_2", "seeds_3", "dpmpp_2m",
+                 "dpmpp_2m_sde", "er_sde", "res_multistep"]:
+        fn = S.get_solver(name)
+        c = S.init_carry(x)
+        kw = ({"ctx": {"sigmas": jnp.asarray([1.0, 0.5, 0.25, 0.0])}}
+              if getattr(fn, "needs_ctx", False) else {})
+        jaxpr = jax.make_jaxpr(
+            lambda c, s, sn: fn(model, c, s, sn, 0, key, **kw))(
+            c, jnp.float32(1.0), jnp.float32(0.5))
+        n = count_whiles(jaxpr.jaxpr)
+        assert n == 1, f"{name}: {n} model instances in the step program"
+
+    # dpm_fast assembles groups at the python level: one scanned 3-call
+    # group body + at most one tail group + the final denoise = <= 3
+    # instances for any ladder (was ~6 before _dpm2/_dpm3 used _staged)
+    sig = jnp.asarray([14.0, 6.0, 2.4, 1.0, 0.5, 0.25, 0.1, 0.05, 0.0])
+    jaxpr = jax.make_jaxpr(
+        lambda x0: S.sample(model, x0, sig, sampler="dpm_fast", key=key)[0])(x)
+    n = count_whiles(jaxpr.jaxpr)
+    assert n <= 3, f"dpm_fast: {n} model instances"
